@@ -1,0 +1,256 @@
+"""Changelog (backup / pre-image) table — the ``_rollback_*`` collection analog.
+
+Schema derives from the reference's ``RollbackDocument``
+(``/root/reference/src/types.ts:36-41``, built at
+``src/MongoBulkDataMigration.ts:304-316``): key, pre-image, date, and the
+serialized forward operation.  Extensions for the CDC generalization:
+
+- ``matched``: whether the row pre-existed (NULL backup <=> it did not — an
+  insert event; rollback must delete it);
+- ``kind='tombstone'`` marker rows appended when a later batch deletes a key
+  whose backup was already taken — this is what lets rollback distinguish
+  "deleted *by this migration*" (re-insert on rollback,
+  `rollback.test.ts:238-266`) from "deleted out-of-band" (must NOT resurrect,
+  `rollback.test.ts:93-108`) even across multi-batch event histories;
+- first-write-wins per (migration, key): re-running a batch never overwrites
+  an existing backup (the reference's ``$setOnInsert`` idempotence anchor,
+  ``/root/reference/src/lib/BackupBulk.ts:17-26``) — enforced with a
+  bucket-pruned anti join, plus an ``applied`` batch marker for the cheap
+  already-done fast path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..sources.catalog import Catalog
+from ..sources.laketable import LakeTable
+
+KIND_BACKUP = "backup"
+KIND_TOMBSTONE = "tombstone"
+
+# deterministic logical clock: epoch + batch_id seconds (no wall-clock in data)
+_EPOCH = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def changelog_schema(data_schema: T.StructType, key_col: str) -> T.StructType:
+    backup_fields = [
+        T.StructField(f.name, f.dataType, True) for f in data_schema.fields if f.name != key_col
+    ]
+    return T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField("migration_id", T.StringType(), False),
+            T.StructField("batch_id", T.LongType(), False),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("matched", T.BooleanType(), True),
+            T.StructField("backup", T.StructType(backup_fields), True),
+            T.StructField("date", T.TimestampType(), True),
+            T.StructField("update_query", T.StringType(), True),
+        ]
+    )
+
+
+class Changelog:
+    """One changelog table per (collection, migration id)."""
+
+    def __init__(self, catalog: Catalog, table_name: str, target: LakeTable, migration_id: str):
+        self.catalog = catalog
+        self.table_name = table_name
+        self.target = target
+        self.migration_id = migration_id
+
+    def ensure(self) -> LakeTable:
+        if self.catalog.exists(self.table_name):
+            return self.catalog.load_table(self.table_name)
+        return self.catalog.create_table(
+            self.table_name,
+            changelog_schema(self.target.schema, self.target.key_col),
+            key_col=self.target.key_col,
+            num_buckets=self.target.num_buckets,
+            properties={"migration_id": self.migration_id, "role": "changelog"},
+        )
+
+    def exists(self) -> bool:
+        return self.catalog.exists(self.table_name)
+
+    def table(self) -> LakeTable:
+        return self.catalog.load_table(self.table_name)
+
+    # ------------------------------------------------------------------
+
+    def append_batch(
+        self,
+        spark: SparkSession,
+        preimage: DataFrame,
+        batch_id: int,
+        update_query: str,
+        backup_cols: list[str] | None = None,
+    ) -> int:
+        """Append pre-images (first-write-wins) + tombstones for one batch.
+
+        ``preimage`` comes from :func:`..operators.merge.build_merge_plan`:
+        ``(key, __op, __matched, __pre_<col>...)``.  ``backup_cols`` is the
+        P1/P2 projection — only those columns are stored in the pre-image
+        ("whatever is fetched and projected is what is saved as backup",
+        ``/root/reference/README.md:18``).
+
+        MUST be committed before the merge commit (B2 WAL ordering,
+        ``/root/reference/src/MongoBulkDataMigration.ts:170-173``).
+        """
+        tbl = self.ensure()
+        marker = tbl.applied_marker(self.migration_id)
+        if marker is not None and marker.get("batch_id", -1) >= batch_id:
+            return -1  # already fully appended by a previous (crashed) run
+
+        key = self.target.key_col
+        # the backup struct follows the CHANGELOG's schema (fixed at creation):
+        # columns added to the target later are not in the pre-image and
+        # restore to NULL — correct w.r.t. the pre-migration state
+        backup_fields = list(tbl.schema["backup"].dataType.fields)
+        bset = set(backup_cols) if backup_cols is not None else {f.name for f in backup_fields}
+        have = set(preimage.columns)
+
+        date = F.lit(_EPOCH + dt.timedelta(seconds=batch_id)).cast("timestamp")
+        backup_struct = F.when(
+            F.col("__matched"),
+            F.struct(
+                *[
+                    (
+                        F.col(f"__pre_{f.name}")
+                        if f.name in bset and f"__pre_{f.name}" in have
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in backup_fields
+                ]
+            ),
+        )
+
+        # keep: matched rows (pre-image) + unmatched rows of insert-class ops
+        # (NULL backup => rollback deletes the inserted key). Unmatched
+        # update/delete were no-ops: nothing to back up (reference backs up
+        # only fetched docs).
+        candidates = preimage.where(
+            F.col("__matched") | F.col("__op").isin("put", "insert")
+        ).select(
+            F.col(key),
+            F.lit(self.migration_id).alias("migration_id"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            (F.col("__seq") if "__seq" in preimage.columns else F.lit(None)).cast("long").alias("seq"),
+            F.lit(KIND_BACKUP).alias("kind"),
+            F.col("__op").alias("op"),
+            F.col("__matched").alias("matched"),
+            backup_struct.alias("backup"),
+            date.alias("date"),
+            F.lit(update_query).alias("update_query"),
+        )
+
+        # first-write-wins: drop keys already backed up for this migration.
+        # Bucket-pruned: only changelog buckets containing candidate keys are
+        # scanned, and the anti join broadcasts the existing-key set bound by
+        # the per-batch key count.
+        existing = self._existing_keys(spark, candidates, kind=KIND_BACKUP)
+        fresh = candidates.join(existing, key, "left_anti")
+
+        # tombstones: a delete applied to a key whose backup already exists
+        # in an earlier batch (first event this batch would have op=delete in
+        # its own backup row; the anti join removed it => mark separately)
+        tombs = (
+            preimage.where(F.col("__matched") & (F.col("__op") == "delete"))
+            .join(existing, key, "left_semi")
+            .select(
+                F.col(key),
+                F.lit(self.migration_id).alias("migration_id"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.lit(None).cast("long").alias("seq"),
+                F.lit(KIND_TOMBSTONE).alias("kind"),
+                F.lit("delete").alias("op"),
+                F.lit(True).alias("matched"),
+                F.lit(None).cast(tbl.schema["backup"].dataType).alias("backup"),
+                date.alias("date"),
+                F.lit(update_query).alias("update_query"),
+            )
+        )
+
+        rows = fresh.unionByName(tombs)
+        n_obs = Observation(f"changelog-b{batch_id}")
+        rows = rows.observe(n_obs, F.count(F.lit(1)).alias("n_rows"),
+                            F.sum(F.when(F.col("kind") == KIND_BACKUP, 1).otherwise(0)).alias("n_backups"))
+        tbl.append(
+            rows,
+            operation=f"backup-batch-{batch_id}",
+            applied={self.migration_id: {"batch_id": batch_id}},
+        )
+        return int(n_obs.get.get("n_backups") or 0)
+
+    def _existing_keys(self, spark: SparkSession, candidates: DataFrame, kind: str) -> DataFrame:
+        tbl = self.table()
+        key = self.target.key_col
+        cand_buckets = [
+            r[0]
+            for r in candidates.select(
+                F.pmod(F.xxhash64(F.col(key)), F.lit(tbl.num_buckets)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        existing = tbl.read(spark, buckets=cand_buckets)
+        return existing.where(
+            (F.col("migration_id") == self.migration_id) & (F.col("kind") == kind)
+        ).select(key)
+
+    # ------------------------------------------------------------------
+
+    def rollback_source(self, spark: SparkSession) -> DataFrame:
+        """Build the single-merge rollback source from the changelog.
+
+        Per key (first-write-wins => exactly one backup row, plus optional
+        tombstones):
+
+        - backup NULL (we inserted it)            -> __op='delete'
+        - deleted by us (first op delete or any
+          tombstone)                              -> __op='insert' (re-insert
+                                                     pre-image, only-if-absent)
+        - otherwise                               -> __op='update' (restore
+                                                     backed-up cols, matched
+                                                     only: no resurrect)
+        """
+        tbl = self.table()
+        key = self.target.key_col
+        log = tbl.read(spark).where(F.col("migration_id") == self.migration_id)
+        backups = log.where(F.col("kind") == KIND_BACKUP)
+        tomb_keys = log.where(F.col("kind") == KIND_TOMBSTONE).select(key).distinct()
+        b = backups.join(tomb_keys.withColumn("__tomb", F.lit(True)), key, "left")
+        deleted_by_us = (F.col("op") == "delete") | F.col("__tomb").isNotNull()
+        op = (
+            F.when(~F.col("matched") | F.col("backup").isNull(), F.lit("delete"))
+            .when(deleted_by_us, F.lit("insert"))
+            .otherwise(F.lit("update"))
+        )
+        # emit all CURRENT target data cols: a column added by online schema
+        # evolution after the backup was taken restores to NULL (it did not
+        # exist in the pre-image — correct w.r.t. the initial state)
+        backup_fields = {f.name for f in tbl.schema["backup"].dataType.fields}
+        data_fields = [f for f in self.target.schema.fields if f.name != key]
+        return b.select(
+            F.col(key),
+            op.alias("__op"),
+            *[
+                (
+                    F.col(f"backup.{f.name}")
+                    if f.name in backup_fields
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in data_fields
+            ],
+        )
+
+    def clean(self) -> bool:
+        """Drop the changelog — the reference's ``clean()``
+        (``/root/reference/src/MongoBulkDataMigration.ts:461-482``)."""
+        return self.catalog.drop_table(self.table_name)

@@ -1,0 +1,298 @@
+"""`MongoBulkDataMigrationSpark` — the reference's public contract, Spark-first.
+
+Mirrors ``MongoBulkDataMigration`` (``/root/reference/src/MongoBulkDataMigration.ts``):
+
+    update()    §3.1  — scan + filter + project, vectorized transform,
+                        backup-before-write changelog append, MERGE commit
+    rollback()  §3.2  — snapshot time-travel fast path, else changelog replay
+                        (single restore MERGE: no-resurrect updates, re-insert
+                        deletes, delete inserts); idempotent second call
+    clean()     §3.3  — drop changelog + resume state, tolerate absence
+    DELETE_COLLECTION — atomic table-rename swap (update/rollback pair,
+                        ``MBDM.ts:129-135,351-357``)
+
+Execution model: one logical migration = one or more micro-batch commits; all
+row work is DataFrame expressions (Catalyst-planned, codegen'd) or Arrow
+pandas UDFs — never per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..operators.merge import OP_COL, build_merge_plan, run_merge
+from ..sources.catalog import Catalog
+from ..sources.laketable import LakeTable
+from .changelog import Changelog
+from .hwm import HwmStore
+from .metrics import MetricsSink
+from .migration import (
+    DELETE_COLLECTION,
+    DELETE_OPERATION,
+    FETCH_ALL,
+    BulkOperationResult,
+    DataMigrationConfig,
+)
+
+log = logging.getLogger("mbdm-spark")
+
+
+class MongoBulkDataMigrationSpark:
+    def __init__(self, spark: SparkSession, config: DataMigrationConfig):
+        self.spark = spark
+        self.config = config
+        self.catalog = Catalog(config.warehouse)
+
+    # ------------------------------------------------------------------
+    # helpers
+
+    def get_collection(self) -> LakeTable:
+        return self.catalog.load_table(self.config.collection_name)
+
+    def _changelog(self, target: LakeTable) -> Changelog:
+        return Changelog(self.catalog, self.config.rollback_table_name, target, self.config.id)
+
+    def _backup_cols(self, target: LakeTable) -> list[str]:
+        """P1/P2: fetched-and-projected columns are what gets backed up
+        (``/root/reference/README.md:18``; `rollback.test.ts:110-160`)."""
+        key = target.key_col
+        cols = self.config.projection or [f.name for f in target.schema.fields if f.name != key]
+        cols = [c for c in cols if c != key]
+        pbf = self.config.options.projection_backup_filter
+        if pbf is not None:  # P2: back up a subset of the projection
+            cols = [c for c in cols if c in pbf]
+        return cols
+
+    def _resolve_query(self, target: LakeTable, df: DataFrame) -> DataFrame:
+        """P3 predicates + R1 FETCH_ALL auto-resume."""
+        q = self.config.query
+        if q is None:
+            return df
+        if q is FETCH_ALL:
+            # reference: {_id: {$gt: last backed-up _id}} (MBDM.ts:326-341);
+            # key order is the resume authority. Same documented limitation
+            # (R2): keys below the HWM inserted later are skipped.
+            cl = self._changelog(target)
+            if not cl.exists():
+                return df
+            key = target.key_col
+            last = cl.table().read(self.spark).agg(F.max(key)).collect()[0][0]
+            return df if last is None else df.where(F.col(key) > F.lit(last))
+        if isinstance(q, str):
+            return df.where(F.expr(q))
+        if isinstance(q, Column):
+            return df.where(q)
+        raise TypeError(f"unsupported query: {q!r}")
+
+    # ------------------------------------------------------------------
+    # update()  (§3.1)
+
+    def update(self) -> dict[str, Any]:
+        cfg = self.config
+        if cfg.update is DELETE_COLLECTION:
+            ok = self.catalog.rename_table(cfg.collection_name, cfg.rollback_table_name)
+            return BulkOperationResult(ok=1 if ok else 0).as_dict()
+
+        t0 = time.monotonic()
+        target = self.get_collection()
+        key = target.key_col
+        df = target.read(self.spark)
+        df = self._resolve_query(target, df)
+        proj_cols = [key] + self._projected(target)
+        df = df.select(*proj_cols)
+
+        total = -1  # NO_COUNT_AVAILABLE sentinel (AbstractBulkOperationResults.ts:39)
+        if not cfg.options.dont_count:
+            total = df.count()  # A1 pre-count
+
+        src, update_cols, update_query = self._build_update_source(target, df)
+
+        cl = self._changelog(target)
+        batch_id = self._next_batch_id(target)
+        plan = build_merge_plan(
+            target,
+            self.spark,
+            src,
+            update_cols=update_cols,
+            strategy=cfg.options.merge_strategy,
+        )
+        try:
+            start_ver = target.current_version()
+            n_backups = cl.append_batch(
+                self.spark, plan.preimage, batch_id, update_query, self._backup_cols(target)
+            )
+            self._record_migration_start(target, start_ver)
+            run_merge(
+                target,
+                plan,
+                operation=f"migration-{cfg.id}-batch-{batch_id}",
+                applied={cfg.id: {"batch_id": batch_id}},
+                properties={"writer": cfg.id},
+            )
+        finally:
+            plan.release()
+
+        res = BulkOperationResult()
+        m = plan.metrics()
+        m["n_backups"] = max(n_backups, 0)
+        m["migration_id"] = cfg.id
+        m["batch_id"] = batch_id
+        m["total_entries"] = total
+        m["wall_s"] = round(time.monotonic() - t0, 3)
+        res.fold(m)
+        MetricsSink(cfg.warehouse, cfg.id).emit(m)
+        if cfg.options.throttle_ms:
+            time.sleep(cfg.options.throttle_ms / 1000.0)  # B3
+        return res.as_dict()
+
+    def _projected(self, target: LakeTable) -> list[str]:
+        key = target.key_col
+        return [
+            c
+            for c in (self.config.projection or [f.name for f in target.schema.fields])
+            if c != key
+        ]
+
+    def _next_batch_id(self, target: LakeTable) -> int:
+        marker = target.applied_marker(self.config.id)
+        return (marker.get("batch_id", -1) + 1) if marker else 0
+
+    def _record_migration_start(self, target: LakeTable, start_version: int) -> None:
+        prop = f"migration_start_{self.config.id}"
+        if prop not in target.snapshot().properties:
+            # carried forward by every later commit; used by the snapshot
+            # time-travel rollback fast path
+            target.commit_marker({}, operation="migration-start", properties={prop: start_version})
+
+    def _build_update_source(
+        self, target: LakeTable, df: DataFrame
+    ) -> tuple[DataFrame, list[str] | None, str]:
+        """Compile the update spec (M1-M4) into a merge source frame."""
+        cfg = self.config
+        key = target.key_col
+        u = cfg.update
+        if u is DELETE_OPERATION:  # M3
+            return (
+                df.select(key).withColumn(OP_COL, F.lit("delete")),
+                None,
+                json.dumps("DELETE_OPERATION"),
+            )
+        if isinstance(u, dict):  # M1 $set analog: {col: Column|literal}
+            exprs = {c: (v if isinstance(v, Column) else F.lit(v)) for c, v in u.items()}
+            out = df
+            changed = F.lit(False)
+            for c, e in exprs.items():
+                old = F.col(c) if c in df.columns else F.lit(None)
+                out = out.withColumn(c, e)
+                changed = changed | ~(old.eqNullSafe(e))
+            if cfg.options.skip_unchanged:  # P4 NO_UPDATE analog
+                out = out.where(changed)
+            out = out.withColumn(OP_COL, F.lit("update"))
+            return out, list(exprs.keys()), json.dumps({"$set": sorted(exprs.keys())})
+        if isinstance(u, tuple) and len(u) == 2 and u[0] == "transform":  # M4 named DSL
+            from ..functions.tokens import parse_transform, transform_expr
+
+            name, arg = parse_transform(F.lit(u[1]))
+            new_tokens = transform_expr(F.col("tokens"), name, arg, F.lit(None))
+            out = (
+                df.withColumn("tokens", new_tokens.cast(target.schema["tokens"].dataType))
+                .withColumn("n_tok", F.size("tokens").cast("int"))
+                .withColumn(OP_COL, F.lit("update"))
+            )
+            return out, ["tokens", "n_tok"], json.dumps({"transform": u[1]})
+        if callable(u):  # M4 whole-batch vectorized callback
+            out = u(df)
+            if OP_COL not in out.columns:
+                out = out.withColumn(OP_COL, F.lit("update"))
+            cols = [c for c in out.columns if c not in (key, OP_COL)]
+            return out, cols, json.dumps({"callback": getattr(u, "__name__", "fn")})
+        raise TypeError(f"unsupported update spec: {u!r}")
+
+    # ------------------------------------------------------------------
+    # rollback()  (§3.2)
+
+    def rollback(self) -> dict[str, Any]:
+        cfg = self.config
+        if cfg.update is DELETE_COLLECTION:
+            ok = self.catalog.rename_table(cfg.rollback_table_name, cfg.collection_name)
+            return BulkOperationResult(ok=1 if ok else 0).as_dict()
+
+        if not self.catalog.exists(cfg.rollback_table_name):
+            # non-rollbackable / second rollback: warn + no-op (MBDM.ts:344-347;
+            # idempotence pinned by doRollbackAndAssertForInitialState.ts:46-54)
+            log.warning("rollback: no changelog for %s — no-op", cfg.id)
+            return BulkOperationResult(ok=1).as_dict()
+
+        target = self.get_collection()
+        res = BulkOperationResult()
+
+        if self._try_snapshot_rollback(target):
+            self.clean()
+            res.batches.append({"mode": "snapshot-time-travel"})
+            return res.as_dict()
+
+        cl = self._changelog(target)
+        src = cl.rollback_source(self.spark)
+        if cfg.rollback is not None:  # M6 custom rollback callback
+            src = cfg.rollback(src)
+        backup_cols = self._backup_cols(target)
+        plan = build_merge_plan(
+            target,
+            self.spark,
+            src,
+            update_cols=backup_cols,
+            strategy=cfg.options.merge_strategy,
+        )
+        try:
+            run_merge(
+                target,
+                plan,
+                operation=f"rollback-{cfg.id}",
+                properties={"writer": cfg.id},
+            )
+            m = plan.metrics()
+        finally:
+            plan.release()
+        res.fold(m)
+        self.clean()  # reference drops the backup collection at rollback end (:405)
+        return res.as_dict()
+
+    def _try_snapshot_rollback(self, target: LakeTable) -> bool:
+        """Whole-table time travel when every snapshot since migration start
+        was written by this migration (no interleaved foreign writes)."""
+        props = target.snapshot().properties
+        start = props.get(f"migration_start_{self.config.id}")
+        if start is None:
+            return False
+        v = target.current_version()
+        while v is not None and v != start:
+            snap = target.snapshot(v)
+            writer = snap.properties.get("writer")
+            if snap.operation not in ("migration-start",) and writer != self.config.id:
+                return False
+            v = snap.parent
+        if v != start:
+            return False
+        target.rollback_to_snapshot(start)
+        return True
+
+    # ------------------------------------------------------------------
+    # clean()  (§3.3)
+
+    def clean(self) -> dict[str, Any]:
+        dropped = self.catalog.drop_table(self.config.rollback_table_name)
+        HwmStore(self.config.warehouse, self.config.id).delete()
+        return {"ok": 1, "dropped": dropped}
+
+    def get_infos(self) -> dict[str, Any]:
+        return {
+            "collection": self.config.collection_name,
+            "rollback_collection": self.config.rollback_table_name,
+            "migration_id": self.config.id,
+            "options": self.config.options.__dict__,
+        }

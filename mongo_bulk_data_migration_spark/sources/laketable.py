@@ -1,0 +1,363 @@
+"""Snapshot-versioned, bucket-partitioned parquet table (Iceberg-style).
+
+The reference operates on MongoDB collections (its tables), with a shadow
+``_rollback_<collection>_<id>`` collection as durable state
+(``/root/reference/src/MongoBulkDataMigration.ts:117-123``).  This module is
+the lake-side equivalent: a directory of immutable parquet data files plus a
+chain of JSON *manifests*, each an atomic, immutable snapshot of the table:
+
+    <root>/
+      _meta/CURRENT                # text: latest snapshot version (atomic ptr)
+      _meta/snap-<v>.json          # schema + file list + properties + markers
+      data/snap-<v>/__b=<k>/*.parquet
+
+Design points (all chosen for the 100 TB / 10^10-event design target):
+
+- **Hash-bucket layout.** Every data file belongs to exactly one bucket
+  ``pmod(xxhash64(key), num_buckets)``.  A MERGE that touches only a few
+  keys rewrites only the touched buckets (copy-on-write with partition
+  pruning); untouched files are carried into the new snapshot by reference.
+- **Atomic commits + time travel.** A snapshot is a single JSON rename;
+  ``rollback_to_snapshot`` is a pointer move — the analog of the reference's
+  atomic ``renameCollection`` swap
+  (``/root/reference/src/MongoBulkDataMigration.ts:451-459``).
+- **Schema evolution.** The manifest owns the schema; readers pass it to the
+  parquet scan explicitly, so columns added later read back as NULL from old
+  files (Iceberg-style add-column without rewrite).
+- **Exactly-once markers.** Each commit may record an
+  ``applied[migration_id] = {batch_id, max_seq}`` marker *atomically with the
+  data*, which is what makes replay-after-crash exactly-once (the reference
+  gets this from `$setOnInsert` first-write-wins backups,
+  ``/root/reference/src/lib/BackupBulk.ts:17-26``).
+
+Single-writer per table is assumed (same as the reference: one migration per
+collection at a time, ``/root/reference/README.md:35``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+BUCKET_COL = "__b"
+
+
+def bucket_expr(key_col: str, num_buckets: int):
+    """Deterministic bucket id for a key — stable across sessions/executors."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    schema: T.StructType
+    key_col: str
+    num_buckets: int
+    files: list[dict[str, Any]]  # {"path": rel, "bucket": int}
+    properties: dict[str, Any] = field(default_factory=dict)
+    applied: dict[str, Any] = field(default_factory=dict)
+    operation: str = "append"
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "parent": self.parent,
+                "schema": self.schema.jsonValue(),
+                "key_col": self.key_col,
+                "num_buckets": self.num_buckets,
+                "files": self.files,
+                "properties": self.properties,
+                "applied": self.applied,
+                "operation": self.operation,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            version=d["version"],
+            parent=d["parent"],
+            schema=T.StructType.fromJson(d["schema"]),
+            key_col=d["key_col"],
+            num_buckets=d["num_buckets"],
+            files=d["files"],
+            properties=d.get("properties", {}),
+            applied=d.get("applied", {}),
+            operation=d.get("operation", "append"),
+        )
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    """Handle to one table rooted at ``root``."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    # ---------------- lifecycle ----------------
+
+    @staticmethod
+    def create(
+        root: str,
+        schema: T.StructType,
+        key_col: str = "doc_id",
+        num_buckets: int = 16,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        root = os.path.abspath(root)
+        meta = os.path.join(root, META_DIR)
+        if os.path.exists(os.path.join(meta, "CURRENT")):
+            raise FileExistsError(f"table already exists at {root}")
+        os.makedirs(meta, exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            parent=None,
+            schema=schema,
+            key_col=key_col,
+            num_buckets=num_buckets,
+            files=[],
+            properties=properties or {},
+            operation="create",
+        )
+        t = LakeTable(root)
+        t._write_snapshot(snap)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, META_DIR, "CURRENT"))
+
+    # ---------------- snapshot plumbing ----------------
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self.root, META_DIR, f"snap-{version:012d}.json")
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, META_DIR, "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(self._snap_path(v)) as f:
+            return Snapshot.from_json(f.read())
+
+    def history(self) -> list[int]:
+        meta = os.path.join(self.root, META_DIR)
+        return sorted(
+            int(n[5:-5]) for n in os.listdir(meta) if n.startswith("snap-") and n.endswith(".json")
+        )
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        _atomic_write(self._snap_path(snap.version), snap.to_json())
+        _atomic_write(os.path.join(self.root, META_DIR, "CURRENT"), str(snap.version))
+
+    def _next_snapshot(self, operation: str) -> Snapshot:
+        cur = self.snapshot()
+        # new version = max existing + 1 so rollback_to_snapshot never collides
+        nxt = self.history()[-1] + 1
+        return Snapshot(
+            version=nxt,
+            parent=cur.version,
+            schema=cur.schema,
+            key_col=cur.key_col,
+            num_buckets=cur.num_buckets,
+            files=list(cur.files),
+            properties=dict(cur.properties),
+            applied=json.loads(json.dumps(cur.applied)),
+            operation=operation,
+        )
+
+    # ---------------- reads ----------------
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.snapshot().schema
+
+    @property
+    def key_col(self) -> str:
+        return self.snapshot().key_col
+
+    @property
+    def num_buckets(self) -> int:
+        return self.snapshot().num_buckets
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: Iterable[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan the table (optionally bucket-pruned / time-traveled).
+
+        The manifest schema is passed to the parquet reader explicitly so
+        files written before a schema evolution surface added columns as
+        NULL — no file rewrite on ALTER TABLE ADD COLUMN.
+        """
+        snap = self.snapshot(version)
+        files = snap.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            return spark.createDataFrame([], snap.schema)
+        paths = [os.path.join(self.root, f["path"]) for f in files]
+        return spark.read.schema(snap.schema).parquet(*paths)
+
+    def applied_marker(self, migration_id: str) -> dict[str, Any] | None:
+        return self.snapshot().applied.get(migration_id)
+
+    # ---------------- writes ----------------
+
+    def _write_data_files(
+        self, df: DataFrame, version: int, schema: T.StructType
+    ) -> list[dict[str, Any]]:
+        """Write df partitioned by bucket under data/snap-<version>/.
+
+        Returns manifest entries. The bucket id is re-derivable from the key
+        (pmod(xxhash64(key), N)) so it is carried in the directory name only.
+        """
+        snap_rel = os.path.join(DATA_DIR, f"snap-{version:012d}")
+        out = os.path.join(self.root, snap_rel)
+        cols = [f.name for f in schema.fields]
+        key = self.key_col
+        nb = self.num_buckets
+        if BUCKET_COL not in df.columns:
+            df = df.withColumn(BUCKET_COL, bucket_expr(key, nb))
+        # one shuffle, co-partitioned by bucket -> at most a few files/bucket
+        (
+            df.select(*cols, BUCKET_COL)
+            .repartition(BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out)
+        )
+        entries: list[dict[str, Any]] = []
+        for bdir in sorted(os.listdir(out)):
+            if not bdir.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(out, bdir))):
+                if fn.endswith(".parquet"):
+                    entries.append({"path": os.path.join(snap_rel, bdir, fn), "bucket": b})
+        return entries
+
+    def append(
+        self,
+        df: DataFrame,
+        operation: str = "append",
+        applied: dict[str, Any] | None = None,
+        properties: dict[str, Any] | None = None,
+    ) -> int:
+        """Append rows as new files; existing files untouched (one commit)."""
+        snap = self._next_snapshot(operation)
+        snap.files.extend(self._write_data_files(df, snap.version, snap.schema))
+        if applied:
+            snap.applied.update(applied)
+        if properties:
+            snap.properties.update(properties)
+        self._write_snapshot(snap)
+        return snap.version
+
+    def overwrite_buckets(
+        self,
+        df: DataFrame,
+        buckets: Iterable[int],
+        operation: str = "merge",
+        applied: dict[str, Any] | None = None,
+        properties: dict[str, Any] | None = None,
+    ) -> int:
+        """Replace the listed buckets' files with df's rows (one commit).
+
+        This is the copy-on-write MERGE commit: untouched buckets carry over
+        by reference, so write amplification is bounded by the touched-bucket
+        fraction — the property that keeps 10^10-event replay tractable.
+        """
+        bset = set(buckets)
+        snap = self._next_snapshot(operation)
+        snap.files = [f for f in snap.files if f["bucket"] not in bset]
+        new_entries = self._write_data_files(df, snap.version, snap.schema)
+        stray = [e for e in new_entries if e["bucket"] not in bset]
+        if stray:
+            raise ValueError(f"write produced rows outside touched buckets: {stray[:3]}")
+        snap.files.extend(new_entries)
+        if applied:
+            snap.applied.update(applied)
+        if properties:
+            snap.properties.update(properties)
+        self._write_snapshot(snap)
+        return snap.version
+
+    def commit_marker(
+        self, applied: dict[str, Any], operation: str = "marker", properties: dict[str, Any] | None = None
+    ) -> int:
+        """Metadata-only commit (e.g. record a batch as applied with no data)."""
+        snap = self._next_snapshot(operation)
+        snap.applied.update(applied)
+        if properties:
+            snap.properties.update(properties)
+        self._write_snapshot(snap)
+        return snap.version
+
+    # ---------------- DDL ----------------
+
+    def add_columns(self, new_fields: list[T.StructField]) -> int:
+        """Online schema evolution: add nullable columns, no file rewrite."""
+        snap = self._next_snapshot("add-columns")
+        names = {f.name for f in snap.schema.fields}
+        fields = list(snap.schema.fields)
+        for nf in new_fields:
+            if nf.name in names:
+                continue
+            if not nf.nullable:
+                raise ValueError(f"added column {nf.name} must be nullable")
+            fields.append(nf)
+        snap.schema = T.StructType(fields)
+        self._write_snapshot(snap)
+        return snap.version
+
+    def rollback_to_snapshot(self, version: int) -> None:
+        """Time-travel pointer move — atomic whole-table rollback."""
+        if not os.path.exists(self._snap_path(version)):
+            raise FileNotFoundError(f"no snapshot {version}")
+        _atomic_write(os.path.join(self.root, META_DIR, "CURRENT"), str(version))
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """GC manifests + unreferenced data files (keep current lineage tail)."""
+        keep_versions = set(self.history()[-keep_last:])
+        keep_versions.add(self.current_version())
+        referenced: set[str] = set()
+        for v in keep_versions:
+            referenced.update(f["path"] for f in self.snapshot(v).files)
+        removed = 0
+        data_root = os.path.join(self.root, DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.remove(full)
+                    removed += 1
+        for v in self.history():
+            if v not in keep_versions:
+                os.remove(self._snap_path(v))
+        return removed

@@ -1,0 +1,279 @@
+"""Oplog-style change-stream replay: micro-batched, checkpointed, exactly-once.
+
+The reference's batch cursor loop (``/root/reference/src/MongoBulkDataMigration.ts:160-201``:
+accumulate <= maxBulkSize, backup bulk, migration bulk, progress, throttle) is
+re-expressed as a deterministic micro-batch replay over a ``seq``-ordered
+event log (the CDC generalization its resume contract already implies,
+SURVEY.md §2.9-2.10):
+
+per batch (seq range, stable across crashes):
+  1. HWM filter        where(seq > hwm[part])            [R1]
+  2. last-wins collapse one event per key                 [§2.5]
+  3. changelog append  pre-images, first-write-wins       [S5, B2: BEFORE merge]
+  4. MERGE commit      + atomic `applied` batch marker    [S4, J2]
+  5. HWM advance       per-partition max seq              [R1]
+  6. metrics emit      lineage + throughput row           [A4, B6]
+
+Exactly-once: steps 3 and 4 are idempotent (markers committed atomically with
+their data); step 5 lags them. A crash between any two steps replays the
+batch; markers turn the replay into no-ops, so effective state is applied
+once — the analog of the reference's `$setOnInsert` + safe-to-run-twice
+contract (``BackupBulk.ts:17-26``, ``README.md:21``).
+
+Transforms are evaluated INSIDE the merge join (one target scan, JVM-side
+expressions): an `update` event's new token array is computed from the
+matched target row + the event payload, never via a second pass.
+
+Schema evolution: events carrying a non-null column the target lacks trigger
+an online ``add_columns`` (nullable, no file rewrite) before the batch merge.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokens import parse_transform, transform_expr
+from ..operators.dedup import last_wins
+from ..operators.merge import OP_COL, build_merge_plan, run_merge
+from ..plans.changelog import Changelog
+from ..plans.engine import MongoBulkDataMigrationSpark
+from ..plans.hwm import HwmStore
+from ..plans.metrics import MetricsSink
+from ..plans.migration import DataMigrationConfig, MigrationOptions
+from ..sources.catalog import Catalog
+from ..sources.laketable import LakeTable
+
+log = logging.getLogger("mbdm-spark")
+
+# event columns that $set scalar target columns when non-null
+SCALAR_SET_COLS = ("source", "extra")
+
+
+class ChangeStreamReplayer:
+    """Applies an insert/update/delete event stream to a LakeTable."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        table_name: str,
+        migration_id: str,
+        options: MigrationOptions | None = None,
+        evolve_schema: bool = True,
+    ):
+        self.spark = spark
+        self.catalog = Catalog(warehouse)
+        self.config = DataMigrationConfig(
+            warehouse=warehouse,
+            collection_name=table_name,
+            id=migration_id,
+            options=options or MigrationOptions(),
+        )
+        self.evolve_schema = evolve_schema
+        self.engine = MongoBulkDataMigrationSpark(spark, self.config)
+        self.hwm = HwmStore(warehouse, migration_id)
+        self.metrics = MetricsSink(warehouse, migration_id)
+
+    # ------------------------------------------------------------------
+
+    def apply_changes(
+        self,
+        events: DataFrame,
+        events_per_batch: int = 5000,
+        max_batches: int | None = None,
+        crash_after: tuple[int, str] | None = None,  # fault injection for tests
+    ) -> list[dict[str, Any]]:
+        """Replay ``events`` (schema per FIXTURES.md T2) in seq-range batches.
+
+        Batch boundaries are ``batch_id = seq // events_per_batch`` — a pure
+        function of the data, so a resumed run re-derives identical batches
+        (the crash-safety anchor; the reference's batch split is likewise
+        deterministic, pinned as [30,30,30,10] in `update.test.ts:228-277`).
+        """
+        target = self.catalog.load_table(self.config.collection_name)
+        pending = self.hwm.filter_events(self.spark, events).persist()
+        try:
+            bounds = pending.agg(
+                F.min("seq").alias("lo"), F.max("seq").alias("hi")
+            ).collect()[0]
+            if bounds["lo"] is None:
+                return []
+            first_b = int(bounds["lo"]) // events_per_batch
+            last_b = int(bounds["hi"]) // events_per_batch
+            out: list[dict[str, Any]] = []
+            for i, b in enumerate(range(first_b, last_b + 1)):
+                if max_batches is not None and i >= max_batches:
+                    break
+                lo, hi = b * events_per_batch, (b + 1) * events_per_batch - 1
+                batch = pending.where((F.col("seq") >= lo) & (F.col("seq") <= hi))
+                m = self._apply_batch(target, batch, b, crash_after)
+                if m is not None:
+                    out.append(m)
+                if self.config.options.throttle_ms:
+                    time.sleep(self.config.options.throttle_ms / 1000.0)
+            return out
+        finally:
+            pending.unpersist()
+
+    # ------------------------------------------------------------------
+
+    def _apply_batch(
+        self,
+        target: LakeTable,
+        batch: DataFrame,
+        batch_id: int,
+        crash_after: tuple[int, str] | None = None,
+    ) -> dict[str, Any] | None:
+        t0 = time.monotonic()
+        cfg = self.config
+
+        # per-partition lineage: max seq + event count (one pruned scan)
+        part_rows = batch.groupBy("part").agg(
+            F.max("seq").alias("max_seq"), F.count(F.lit(1)).alias("n")
+        ).collect()
+        if not part_rows:
+            return None
+        n_events = sum(r["n"] for r in part_rows)
+        part_hwm = {int(r["part"]): int(r["max_seq"]) for r in part_rows}
+        max_seq = max(part_hwm.values())
+
+        marker = target.applied_marker(cfg.id)
+        already_applied = marker is not None and marker.get("batch_id", -1) >= batch_id
+
+        n_backups = 0
+        merge_metrics: dict[str, Any] = {}
+        if not already_applied:
+            if self.evolve_schema:
+                self._maybe_evolve(target, batch)
+            src = self._build_source(target, batch)
+            plan = build_merge_plan(
+                target,
+                self.spark,
+                src,
+                update_cols=self._update_cols(target),
+                strategy=cfg.options.merge_strategy,
+                carry_cols=["seq", "transform"],
+                value_exprs=self._value_exprs(target),
+            )
+            try:
+                cl = Changelog(self.catalog, cfg.rollback_table_name, target, cfg.id)
+                start_ver = target.current_version()
+                n_backups = cl.append_batch(
+                    self.spark,
+                    plan.preimage,
+                    batch_id,
+                    update_query=f'{{"cdc_batch": {batch_id}}}',
+                    backup_cols=None,  # full pre-image for CDC
+                )
+                if crash_after and crash_after == (batch_id, "changelog"):
+                    raise SimulatedCrash(batch_id, "changelog")
+                self.engine._record_migration_start(target, start_ver)
+                run_merge(
+                    target,
+                    plan,
+                    operation=f"cdc-{cfg.id}-batch-{batch_id}",
+                    applied={cfg.id: {"batch_id": batch_id, "max_seq": max_seq}},
+                    properties={"writer": cfg.id},
+                )
+                merge_metrics = plan.metrics()
+            finally:
+                plan.release()
+
+        if crash_after and crash_after == (batch_id, "merge"):
+            raise SimulatedCrash(batch_id, "merge")
+        self.hwm.advance(part_hwm, batch_id)
+
+        wall = time.monotonic() - t0
+        m = {
+            "migration_id": cfg.id,
+            "batch_id": batch_id,
+            "n_events": int(n_events),
+            "n_parts": len(part_hwm),
+            "part_hwm": part_hwm,
+            "max_seq": max_seq,
+            "n_backups": int(max(n_backups, 0)),
+            "replayed": bool(already_applied),
+            "wall_s": round(wall, 4),
+            "events_per_sec": round(n_events / wall, 1) if wall > 0 else None,
+            **merge_metrics,
+        }
+        self.metrics.emit(m)
+        return m
+
+    # ------------------------------------------------------------------
+
+    def _maybe_evolve(self, target: LakeTable, batch: DataFrame) -> None:
+        """Online ALTER TABLE ADD COLUMN driven by event payload drift."""
+        known = {f.name for f in target.schema.fields}
+        candidates = [c for c in SCALAR_SET_COLS if c in batch.columns and c not in known]
+        for c in candidates:
+            if batch.where(F.col(c).isNotNull()).take(1):
+                log.info("schema evolution: adding column %s to %s", c, target.root)
+                target.add_columns([T.StructField(c, batch.schema[c].dataType, True)])
+
+    def _build_source(self, target: LakeTable, batch: DataFrame) -> DataFrame:
+        """Collapse last-wins and map CDC ops to merge ops.
+
+        insert -> 'put' (full-row upsert); update -> 'update' (expressions
+        against the matched target row); delete -> 'delete'.
+        """
+        collapsed = last_wins(
+            batch, key=target.key_col, order="seq", n_salt=self.config.options.dedup_salt
+        )
+        op = (
+            F.when(F.col("op") == "insert", F.lit("put"))
+            .when(F.col("op") == "delete", F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        src = collapsed.withColumn(OP_COL, op)
+        # insert rows: n_tok invariant from the payload
+        src = src.withColumn(
+            "n_tok",
+            F.when(F.col(OP_COL) == "put", F.size("tokens")).cast("int"),
+        )
+        return src
+
+    def _update_cols(self, target: LakeTable) -> list[str]:
+        key = target.key_col
+        return [f.name for f in target.schema.fields if f.name != key]
+
+    def _value_exprs(self, target: LakeTable):
+        """Column expressions for 'update'-op rows, evaluated inside the
+        merge join: target columns by name, source (event) columns as
+        __s_<col> / carried columns as __c_<col>."""
+        name, arg = parse_transform(F.col("__c_transform"))
+        new_tokens = F.when(
+            F.col("__c_transform").isNotNull(),
+            transform_expr(F.col("tokens"), name, arg, F.col("__s_tokens")),
+        ).otherwise(F.col("tokens"))
+        exprs = {
+            "tokens": new_tokens.cast(target.schema["tokens"].dataType),
+            "n_tok": F.size(new_tokens).cast("int"),
+        }
+        for c in SCALAR_SET_COLS:
+            if c in {f.name for f in target.schema.fields}:
+                exprs[c] = F.coalesce(F.col(f"__s_{c}"), F.col(c))
+        return exprs
+
+    # ------------------------------------------------------------------
+
+    def rollback(self) -> dict[str, Any]:
+        return self.engine.rollback()
+
+    def clean(self) -> dict[str, Any]:
+        return self.engine.clean()
+
+
+class SimulatedCrash(RuntimeError):
+    """Fault-injection marker (tests kill the run between protocol steps —
+    the analog of `update.test.ts:95-139` crash-resume)."""
+
+    def __init__(self, batch_id: int, where: str):
+        super().__init__(f"simulated crash after {where} of batch {batch_id}")
+        self.batch_id = batch_id
+        self.where = where

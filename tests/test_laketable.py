@@ -1,0 +1,124 @@
+"""LakeTable: snapshots, bucket pruning, time travel, schema evolution.
+
+Mirrors the reference's collection-level contract: atomic rename swap
+(`MongoBulkDataMigration.test.ts:109-175`), drop-tolerance of clean()
+(`MongoBulkDataMigration.test.ts:77-107`).
+"""
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_bulk_data_migration_spark import Catalog, LakeTable
+from mongo_bulk_data_migration_spark.sources.fixtures import (
+    SEQUENCES_SCHEMA,
+    make_sequences,
+    sequences_spark,
+)
+
+from conftest import rows_of
+
+
+def test_create_append_read(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=8)
+    df = sequences_spark(spark, 100)
+    t.append(df)
+    got = rows_of(t.read(spark))
+    assert got == rows_of(df)
+    assert t.current_version() == 1
+
+
+def test_bucket_pruning_reads_subset(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=8)
+    t.append(sequences_spark(spark, 200))
+    full = t.read(spark).count()
+    some = t.read(spark, buckets=[0, 1]).count()
+    assert 0 < some < full
+    # pruned union over all buckets == full table
+    total = sum(t.read(spark, buckets=[b]).count() for b in range(8))
+    assert total == full
+
+
+def test_bucket_assignment_consistent(spark, warehouse):
+    """Every row lands in the bucket its key hashes to (merge relies on it)."""
+    from mongo_bulk_data_migration_spark.sources.laketable import bucket_expr
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=8)
+    t.append(sequences_spark(spark, 100))
+    for b in [0, 3, 7]:
+        bad = (
+            t.read(spark, buckets=[b])
+            .where(bucket_expr("doc_id", 8) != b)
+            .count()
+        )
+        assert bad == 0
+
+
+def test_overwrite_buckets_and_time_travel(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(sequences_spark(spark, 50))
+    v1 = t.current_version()
+    before = rows_of(t.read(spark))
+    before_untouched = rows_of(t.read(spark, buckets=[0, 1, 3]))
+
+    changed = t.read(spark, buckets=[2]).withColumn("source", F.lit("MUT"))
+    t.overwrite_buckets(changed, [2])
+    after = rows_of(t.read(spark))
+    assert after != before
+    assert "MUT" in {r["source"] for r in after}
+    # untouched buckets carried over by reference, byte-identical
+    assert rows_of(t.read(spark, buckets=[0, 1, 3])) == before_untouched
+
+    t.rollback_to_snapshot(v1)
+    assert rows_of(t.read(spark)) == before
+
+
+def test_schema_evolution_add_column(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(sequences_spark(spark, 20))
+    t.add_columns([T.StructField("extra", T.StringType(), True)])
+    got = t.read(spark)
+    assert "extra" in got.columns
+    assert got.where(F.col("extra").isNotNull()).count() == 0  # old files -> NULL
+    # new writes carry the column
+    newrow = spark.createDataFrame(
+        [("docX", [1, 2], 2, "web", "payload")],
+        T.StructType(list(SEQUENCES_SCHEMA.fields) + [T.StructField("extra", T.StringType())]),
+    )
+    t.append(newrow)
+    assert t.read(spark).where(F.col("extra") == "payload").count() == 1
+
+
+def test_applied_markers_carry_forward(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(sequences_spark(spark, 10), applied={"mig1": {"batch_id": 0}})
+    t.append(sequences_spark(spark, 5), applied={"mig1": {"batch_id": 1}})
+    assert t.applied_marker("mig1") == {"batch_id": 1}
+    assert t.applied_marker("nope") is None
+
+
+def test_rename_and_drop(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("a", SEQUENCES_SCHEMA)
+    assert cat.rename_table("a", "b") is True
+    assert cat.rename_table("a", "b") is False  # second swap: {ok: 0} analog
+    assert cat.exists("b") and not cat.exists("a")
+    assert cat.drop_table("b") is True
+    assert cat.drop_table("b") is False  # drop-absent tolerated
+
+
+def test_expire_snapshots_gc(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=2)
+    t.append(sequences_spark(spark, 20))
+    t.overwrite_buckets(t.read(spark).withColumn("source", F.lit("x")), [0, 1])
+    before = rows_of(t.read(spark))
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert rows_of(t.read(spark)) == before
