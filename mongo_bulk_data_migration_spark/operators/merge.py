@@ -114,6 +114,23 @@ def build_merge_plan(
     # persisted: reused for touched-bucket discovery, pre-images, inserts
     s = _prep_source(table, src, carry_cols).persist()
     touched = sorted(r[0] for r in s.select(BUCKET_COL).distinct().collect())
+    if not touched:
+        # nothing to do (e.g. a fully caught-up FETCH_ALL resume): empty
+        # frames with the right schemas, no observations to wait on
+        empty_pre = s.limit(0).select(
+            F.col(_SKEY).alias(key),
+            F.col(OP_COL),
+            F.lit(False).alias("__matched"),
+            *[F.col(f"__s_{c}").alias(f"__pre_{c}") for c in data_cols if c != key],
+            *[F.col(f"__c_{c}").alias(f"__{c}") for c in carry_cols],
+        )
+        return MergePlan(
+            result=table.read(spark, buckets=[]),
+            preimage=empty_pre,
+            touched=[],
+            observations={},
+            source=s,
+        )
     tgt = table.read(spark, buckets=touched)
 
     op = F.col(OP_COL)

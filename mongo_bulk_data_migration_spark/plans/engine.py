@@ -185,13 +185,15 @@ class MongoBulkDataMigrationSpark:
         if isinstance(u, dict):  # M1 $set analog: {col: Column|literal}
             exprs = {c: (v if isinstance(v, Column) else F.lit(v)) for c, v in u.items()}
             out = df
-            changed = F.lit(False)
-            for c, e in exprs.items():
-                old = F.col(c) if c in df.columns else F.lit(None)
-                out = out.withColumn(c, e)
-                changed = changed | ~(old.eqNullSafe(e))
-            if cfg.options.skip_unchanged:  # P4 NO_UPDATE analog
+            if cfg.options.skip_unchanged:  # P4 NO_UPDATE analog — filter
+                # against the ORIGINAL column values, before any rewrite
+                changed = F.lit(False)
+                for c, e in exprs.items():
+                    old = F.col(c) if c in df.columns else F.lit(None)
+                    changed = changed | ~(old.eqNullSafe(e))
                 out = out.where(changed)
+            for c, e in exprs.items():
+                out = out.withColumn(c, e)
             out = out.withColumn(OP_COL, F.lit("update"))
             return out, list(exprs.keys()), json.dumps({"$set": sorted(exprs.keys())})
         if isinstance(u, tuple) and len(u) == 2 and u[0] == "transform":  # M4 named DSL

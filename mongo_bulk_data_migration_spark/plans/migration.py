@@ -103,4 +103,5 @@ class BulkOperationResult:
             "nUpserted": self.n_upserted,
             "nBackups": self.n_backups,
             "writeErrors": self.write_errors,
+            "batches": self.batches,
         }

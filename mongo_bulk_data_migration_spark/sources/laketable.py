@@ -175,6 +175,10 @@ class LakeTable:
         cur = self.snapshot()
         # new version = max existing + 1 so rollback_to_snapshot never collides
         nxt = self.history()[-1] + 1
+        props = dict(cur.properties)
+        # per-commit identity is NOT inherited (a foreign commit must not look
+        # like it was written by the previous committer)
+        props.pop("writer", None)
         return Snapshot(
             version=nxt,
             parent=cur.version,
@@ -182,7 +186,7 @@ class LakeTable:
             key_col=cur.key_col,
             num_buckets=cur.num_buckets,
             files=list(cur.files),
-            properties=dict(cur.properties),
+            properties=props,
             applied=json.loads(json.dumps(cur.applied)),
             operation=operation,
         )

@@ -1,0 +1,201 @@
+"""Migration engine: update()/rollback()/clean() — the reference contract.
+
+Each test mirrors a reference behavior test (cited inline).
+"""
+
+from pyspark.sql import functions as F
+
+from mongo_bulk_data_migration_spark import (
+    Catalog,
+    DataMigrationConfig,
+    MigrationOptions,
+    MongoBulkDataMigrationSpark,
+    DELETE_COLLECTION,
+    DELETE_OPERATION,
+    FETCH_ALL,
+)
+from mongo_bulk_data_migration_spark.sources.fixtures import (
+    SEQUENCES_SCHEMA,
+    sequences_spark,
+)
+
+from conftest import rows_of
+
+
+def seed(spark, warehouse, n=30, buckets=4):
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=buckets)
+    t.append(sequences_spark(spark, n))
+    return cat, t
+
+
+def mig(spark, warehouse, **kw):
+    opts = kw.pop("options", MigrationOptions())
+    cfg = DataMigrationConfig(
+        warehouse=warehouse, collection_name="seq", id=kw.pop("id", "m1"), options=opts, **kw
+    )
+    return MongoBulkDataMigrationSpark(spark, cfg)
+
+
+def test_update_set_and_rollback_roundtrip(spark, warehouse):
+    """$set + automatic rollback restores initial state; second rollback is a
+    no-op (doRollbackAndAssertForInitialState.ts:31-54)."""
+    cat, t = seed(spark, warehouse)
+    initial = rows_of(t.read(spark))
+
+    m = mig(spark, warehouse, update={"source": "MIGRATED"}, query="n_tok > 0")
+    res = m.update()
+    assert res["nModified"] == len(initial)
+    assert res["nBackups"] == len(initial)
+    assert {r["source"] for r in rows_of(t.read(spark))} == {"MIGRATED"}
+
+    res2 = m.rollback()
+    assert rows_of(t.read(spark)) == initial
+    # second rollback: changelog gone -> warn + no-op, zero writes
+    res3 = m.rollback()
+    assert res3["nModified"] == 0 and res3["nMatched"] == 0
+
+
+def test_update_with_query_predicate(spark, warehouse):
+    """P3: only matching rows fetched/updated/backed up (update.test.ts:680)."""
+    cat, t = seed(spark, warehouse)
+    n_web = t.read(spark).where("source = 'web'").count()
+    m = mig(spark, warehouse, update={"source": "X"}, query=F.col("source") == "web")
+    res = m.update()
+    assert res["nModified"] == n_web
+    assert t.read(spark).where("source = 'X'").count() == n_web
+
+
+def test_update_transform_dsl(spark, warehouse):
+    cat, t = seed(spark, warehouse, n=10)
+    before = rows_of(t.read(spark))
+    m = mig(spark, warehouse, update=("transform", "truncate:3"))
+    m.update()
+    after = rows_of(t.read(spark))
+    for b, a in zip(before, after):
+        assert a["tokens"] == b["tokens"][:3]
+        assert a["n_tok"] == len(a["tokens"])
+    m.rollback()
+    assert rows_of(t.read(spark)) == before
+
+
+def test_delete_operation_and_rollback_reinserts(spark, warehouse):
+    """M3 DELETE_OPERATION + delete-rollback re-inserts
+    (update.test.ts:675-695, rollback.test.ts:238-266)."""
+    cat, t = seed(spark, warehouse)
+    initial = rows_of(t.read(spark))
+    m = mig(spark, warehouse, update=DELETE_OPERATION, query="source = 'code'")
+    res = m.update()
+    assert res["nRemoved"] > 0
+    assert t.read(spark).where("source = 'code'").count() == 0
+    m.rollback()
+    assert rows_of(t.read(spark)) == initial
+
+
+def test_no_resurrect_out_of_band_delete(spark, warehouse):
+    """Update-rollback must NOT restore a doc deleted out-of-band between
+    update and rollback (rollback.test.ts:93-108)."""
+    cat, t = seed(spark, warehouse)
+    m = mig(spark, warehouse, update={"source": "Y"})
+    m.update()
+    # out-of-band delete of one doc (foreign writer)
+    from mongo_bulk_data_migration_spark.operators.merge import build_merge_plan, run_merge
+
+    plan = build_merge_plan(
+        t, spark, spark.createDataFrame([("doc00000003", "delete")], "doc_id string, __op string")
+    )
+    run_merge(t, plan, operation="foreign-delete")
+    plan.release()
+
+    m.rollback()
+    got = rows_of(t.read(spark))
+    assert "doc00000003" not in {r["doc_id"] for r in got}
+
+
+def test_projection_scoped_restore(spark, warehouse):
+    """Out-of-band change to a non-backed-up column survives rollback
+    (rollback.test.ts:110-160,641-666)."""
+    cat, t = seed(spark, warehouse)
+    m = mig(spark, warehouse, update={"tokens": F.array(F.lit(1))}, projection=["tokens", "n_tok"])
+    m.update()
+    # out-of-band foreign update to `source` (not in the projection/backup)
+    from mongo_bulk_data_migration_spark.operators.merge import build_merge_plan, run_merge
+
+    foreign = (
+        t.read(spark)
+        .where("doc_id = 'doc00000002'")
+        .select("doc_id", F.lit("update").alias("__op"), F.lit("OOB").alias("source"))
+    )
+    plan = build_merge_plan(t, spark, foreign, update_cols=["source"])
+    run_merge(t, plan, operation="foreign-update")
+    plan.release()
+
+    m.rollback()
+    row = rows_of(t.read(spark).where("doc_id = 'doc00000002'"))[0]
+    assert row["source"] == "OOB"  # in-between value preserved
+    assert row["tokens"] == rows_of(sequences_spark(spark, 3))[2]["tokens"]  # restored
+
+
+def test_fetch_all_resume_skips_migrated(spark, warehouse):
+    """R1: FETCH_ALL resolves to key > last backed-up key
+    (MBDM.ts:326-341; update.test.ts:596-673)."""
+    cat, t = seed(spark, warehouse, n=20)
+    m = mig(
+        spark, warehouse, update={"source": "A"}, query=FETCH_ALL,
+        options=MigrationOptions(dont_count=True),
+    )
+    res1 = m.update()
+    assert res1["nModified"] == 20
+    # re-run: everything already backed up -> only keys above HWM match (none)
+    res2 = m.update()
+    assert res2["nModified"] == 0
+
+
+def test_skip_unchanged_no_update(spark, warehouse):
+    """P4 NO_UPDATE: rows whose update is a no-op contribute nothing
+    (update.test.ts:463-526)."""
+    cat, t = seed(spark, warehouse)
+    n_web = t.read(spark).where("source = 'web'").count()
+    total = t.read(spark).count()
+    m = mig(
+        spark, warehouse,
+        update={"source": "web"},  # only non-web rows actually change
+        options=MigrationOptions(skip_unchanged=True),
+    )
+    res = m.update()
+    assert res["nModified"] == total - n_web
+    assert res["nBackups"] == total - n_web
+
+
+def test_delete_collection_swap_and_rollback(spark, warehouse):
+    """S7 DELETE_COLLECTION: rename main->backup; rollback renames back;
+    second run returns ok:0 (MongoBulkDataMigration.test.ts:109-175)."""
+    cat, t = seed(spark, warehouse)
+    initial = rows_of(t.read(spark))
+    m = mig(spark, warehouse, update=DELETE_COLLECTION)
+    assert m.update()["ok"] == 1
+    assert not cat.exists("seq")
+    assert m.update()["ok"] == 0  # second run: source gone
+    assert m.rollback()["ok"] == 1
+    assert rows_of(cat.load_table("seq").read(spark)) == initial
+    assert m.rollback()["ok"] == 0
+
+
+def test_snapshot_fast_path_rollback(spark, warehouse):
+    """Whole-table time travel when no foreign writes interleaved."""
+    cat, t = seed(spark, warehouse)
+    initial = rows_of(t.read(spark))
+    m = mig(spark, warehouse, update={"source": "Z"})
+    m.update()
+    res = m.rollback()
+    assert any(b.get("mode") == "snapshot-time-travel" for b in res["batches"])
+    assert rows_of(cat.load_table("seq").read(spark)) == initial
+
+
+def test_clean_tolerates_absence(spark, warehouse):
+    cat, t = seed(spark, warehouse, n=5)
+    m = mig(spark, warehouse, update={"source": "Q"})
+    assert m.clean()["dropped"] is False
+    m.update()
+    assert m.clean()["dropped"] is True
+    assert m.clean()["dropped"] is False

@@ -1,0 +1,203 @@
+"""Change-stream replay vs the pure-Python oracle simulator.
+
+Covers FIXTURES.md invariants 1-8: golden end-state token equality, rollback
+round-trip, crash-resume exactly-once, last-wins, schema evolution, skew.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_bulk_data_migration_spark import Catalog, MigrationOptions
+from mongo_bulk_data_migration_spark.simulator import OracleSimulator
+from mongo_bulk_data_migration_spark.sources.fixtures import (
+    CHANGES_SCHEMA,
+    SEQUENCES_SCHEMA,
+    changes_spark,
+    make_changes,
+    make_sequences,
+)
+from mongo_bulk_data_migration_spark.streaming.replay import (
+    ChangeStreamReplayer,
+    SimulatedCrash,
+)
+
+from conftest import rows_of
+
+N_DOCS = 120
+N_EVENTS = 400
+PER_BATCH = 100  # -> 4 batches
+
+
+def setup_run(spark, warehouse, n_docs=N_DOCS, n_events=N_EVENTS, evolve=None, seed=42):
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=8)
+    rows = make_sequences(n_docs)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+    events = make_changes(
+        n_docs, n_events, n_parts=8, n_batches=4, schema_evolution_from_batch=evolve, seed=seed
+    )
+    sim = OracleSimulator(rows)
+    return cat, t, events, sim
+
+
+def sim_apply_all(sim, events, per_batch=PER_BATCH):
+    for b in range(0, max(e["seq"] for e in events) // per_batch + 1):
+        sim.apply_batch([e for e in events if e["seq"] // per_batch == b])
+
+
+def compare(spark, t, sim):
+    got = rows_of(t.read(spark))
+    want = sim.rows()
+    assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
+    for g, w in zip(got, want):
+        assert g["doc_id"] == w["doc_id"]
+        assert g["tokens"] == w["tokens"], f"tokens mismatch for {g['doc_id']}"
+        assert g["n_tok"] == w["n_tok"], f"n_tok mismatch for {g['doc_id']}"
+        assert g.get("source") == w.get("source"), f"source mismatch for {g['doc_id']}"
+        if "extra" in w:
+            assert g.get("extra") == w.get("extra"), f"extra mismatch for {g['doc_id']}"
+
+
+def test_replay_golden_end_state(spark, warehouse):
+    """Invariant 1: apply all batches -> per-doc token equality vs oracle."""
+    cat, t, events, sim = setup_run(spark, warehouse)
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "cdc1")
+    metrics = rep.apply_changes(changes_spark(spark, events), events_per_batch=PER_BATCH)
+    sim_apply_all(sim, events)
+    compare(spark, t, sim)
+    assert len(metrics) == 4
+    assert all(m["n_events"] > 0 for m in metrics)
+    assert sum(m["n_events"] for m in metrics) == N_EVENTS
+
+
+def test_replay_rollback_roundtrip(spark, warehouse):
+    """Invariant 2: update -> rollback == initial; second rollback no-op."""
+    cat, t, events, sim = setup_run(spark, warehouse)
+    initial = rows_of(t.read(spark))
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "cdc2")
+    rep.apply_changes(changes_spark(spark, events), events_per_batch=PER_BATCH)
+    assert rows_of(t.read(spark)) != initial
+    rep.rollback()
+    assert rows_of(cat.load_table("seq").read(spark)) == initial
+    res2 = rep.rollback()
+    assert res2["nModified"] == 0 and res2["nRemoved"] == 0
+
+
+def test_replay_rollback_after_foreign_write_uses_changelog(spark, warehouse):
+    """Same round-trip but with an interleaved foreign write: snapshot fast
+    path must be rejected; changelog replay restores all OUR changes while
+    keeping the foreign one (projection-scoped semantics are whole-row here
+    since CDC backs up full pre-images)."""
+    cat, t, events, sim = setup_run(spark, warehouse)
+    initial = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "cdc3")
+    rep.apply_changes(changes_spark(spark, events), events_per_batch=PER_BATCH)
+
+    # foreign writer deletes one never-touched doc out-of-band
+    from mongo_bulk_data_migration_spark.operators.merge import build_merge_plan, run_merge
+
+    touched_keys = {e["doc_id"] for e in events}
+    victim = sorted(set(initial) - touched_keys)[0]
+    plan = build_merge_plan(
+        t, spark, spark.createDataFrame([(victim, "delete")], "doc_id string, __op string")
+    )
+    run_merge(t, plan, operation="foreign-delete")
+    plan.release()
+
+    res = rep.rollback()
+    assert not any(b.get("mode") == "snapshot-time-travel" for b in res["batches"])
+    got = {r["doc_id"]: r for r in rows_of(cat.load_table("seq").read(spark))}
+    assert victim not in got  # foreign delete preserved (no resurrect)
+    want = dict(initial)
+    del want[victim]
+    assert got == want
+
+
+@pytest.mark.parametrize("crash_point", ["changelog", "merge"])
+def test_crash_resume_exactly_once(spark, warehouse, crash_point):
+    """Invariant 3: kill after changelog commit / after merge commit of batch
+    1, re-run, end state identical to an uninterrupted run (no double-apply
+    of non-idempotent transforms like append_eos)."""
+    cat, t, events, sim = setup_run(spark, warehouse)
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", f"cdc4{crash_point}")
+    with pytest.raises(SimulatedCrash):
+        rep.apply_changes(
+            changes_spark(spark, events),
+            events_per_batch=PER_BATCH,
+            crash_after=(1, crash_point),
+        )
+    # resume: same replayer state dirs, no crash
+    rep2 = ChangeStreamReplayer(spark, warehouse, "seq", f"cdc4{crash_point}")
+    rep2.apply_changes(changes_spark(spark, events), events_per_batch=PER_BATCH)
+    sim_apply_all(sim, events)
+    compare(spark, t, sim)
+
+
+def test_last_wins_multiple_events_per_key(spark, warehouse):
+    """Invariant 6: a key with several events in one batch ends at the
+    highest-seq event's effect (computed against pre-batch state)."""
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    rows = make_sequences(3)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+    sim = OracleSimulator(rows)
+    ev = [
+        dict(seq=0, part=0, op="update", doc_id="doc00000001", tokens=None,
+             transform="append_eos", source=None, extra=None),
+        dict(seq=1, part=0, op="update", doc_id="doc00000001", tokens=None,
+             transform="truncate:2", source=None, extra=None),
+        dict(seq=2, part=0, op="delete", doc_id="doc00000002", tokens=None,
+             transform=None, source=None, extra=None),
+        dict(seq=3, part=0, op="update", doc_id="doc00000002", tokens=None,
+             transform="append_eos", source=None, extra=None),
+    ]
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "cdc5")
+    rep.apply_changes(changes_spark(spark, ev), events_per_batch=100)
+    sim.apply_batch(ev)
+    compare(spark, t, sim)
+    got = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    assert got["doc00000001"]["tokens"] == rows[1]["tokens"][:2]  # truncate won
+    assert "doc00000002" in got  # update (seq 3) won over delete (seq 2)
+
+
+def test_schema_evolution_replay(spark, warehouse):
+    """Invariant 8: batches with `extra` payload add a nullable column
+    online; earlier rows read back NULL; replay stays exactly-once."""
+    cat, t, events, sim = setup_run(spark, warehouse, evolve=2)
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "cdc6")
+    rep.apply_changes(changes_spark(spark, events), events_per_batch=PER_BATCH)
+    sim_apply_all(sim, events)
+    assert "extra" in [f.name for f in cat.load_table("seq").schema.fields]
+    compare(spark, t, sim)
+    # rollback across the evolution boundary: tokens/source restored; the
+    # evolved column reads NULL everywhere (it did not exist initially)
+    rep.rollback()
+    got = rows_of(cat.load_table("seq").read(spark))
+    init = {r["doc_id"]: r for r in make_sequences(N_DOCS)}
+    assert {r["doc_id"] for r in got} == set(init)
+    for r in got:
+        assert r["tokens"] == init[r["doc_id"]]["tokens"]
+        assert r.get("extra") is None
+
+
+def test_hwm_resume_skips_applied_seqs(spark, warehouse):
+    """R1: a second apply_changes of the same events is a no-op."""
+    cat, t, events, sim = setup_run(spark, warehouse)
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "cdc7")
+    rep.apply_changes(changes_spark(spark, events), events_per_batch=PER_BATCH)
+    state1 = rows_of(t.read(spark))
+    out = rep.apply_changes(changes_spark(spark, events), events_per_batch=PER_BATCH)
+    assert out == []  # everything below the HWM
+    assert rows_of(cat.load_table("seq").read(spark)) == state1
+
+
+def test_zipf_skew_correctness(spark, warehouse):
+    """Invariant 7: hot Zipf keys process correctly (with explicit salt)."""
+    cat, t, events, sim = setup_run(spark, warehouse, n_docs=60, n_events=600, seed=7)
+    rep = ChangeStreamReplayer(
+        spark, warehouse, "seq", "cdc8",
+        options=MigrationOptions(dedup_salt=8),
+    )
+    rep.apply_changes(changes_spark(spark, events), events_per_batch=150)
+    sim_apply_all(sim, events, per_batch=150)
+    compare(spark, t, sim)
