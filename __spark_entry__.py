@@ -1,38 +1,701 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)`  — flagship CDC merge-apply on sf0.001 (engine end-to-end).
+`queries()`     — one entry per implemented operator family (SURVEY.md §2 +
+                  training-data-pipeline ops); each (spark, sf_dir) -> DataFrame.
+`oracle_sql()`  — DuckDB-equivalent ANSI SQL per query (omitted only for
+                  genuinely non-SQL ops: pandas-UDF sketches, multimodal stubs).
+
+Column names and types are aligned 1:1 between each query and its oracle.
+Float outputs are either passthrough (hash-stable) or computed with the same
+fold order in both engines and rounded.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# flagship: deterministic single-batch CDC merge over a derived sequences
+# table — the engine end-to-end (LakeTable + last-wins + in-join transforms +
+# changelog + MERGE), oracle-checked against pure ANSI SQL.
+# ---------------------------------------------------------------------------
+
+_MIX = 2654435761
+_VOCAB = 50257
+
+
+def _cdc_frames(spark: SparkSession, sf_dir: str):
+    """Derive (sequences, events) deterministically from documents count."""
+    n_docs = _t(spark, sf_dir, "documents").count()
+    n_events = 2 * n_docs
+    id_space = n_docs + n_docs // 4
+
+    ids = spark.range(0, n_docs, 1, 8)
+    length = (F.lit(1) + F.pmod(F.col("id"), F.lit(512))).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(0), length - 1),
+        lambda j: F.pmod(F.col("id") * _MIX + j.cast("long"), F.lit(_VOCAB)).cast("int"),
+    )
+    seqs = ids.select(
+        F.format_string("doc%08d", "id").alias("doc_id"),
+        tokens.alias("tokens"),
+        length.alias("n_tok"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("books"), F.lit("code"), F.lit("wiki")),
+            (F.pmod(F.col("id"), F.lit(4)) + 1).cast("int"),
+        ).alias("source"),
+    )
+
+    ev = spark.range(0, n_events, 1, 8)
+    idx = F.pmod(F.col("id") * _MIX + 12345, F.lit(id_space))
+    op = (
+        F.when(idx >= n_docs, F.lit("insert"))
+        .when(F.pmod(F.col("id"), F.lit(10)) < 8, F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    karg = (F.lit(1) + F.pmod(F.col("id"), F.lit(7))).cast("int")
+    marg = (F.lit(101) + F.pmod(F.col("id"), F.lit(7)) * 100).cast("int")
+    tsel = F.pmod(F.col("id"), F.lit(5))
+    transform = F.when(
+        op == "update",
+        F.when(tsel == 0, F.lit("append_eos"))
+        .when(tsel == 1, F.concat(F.lit("drop_first_k:"), karg.cast("string")))
+        .when(tsel == 2, F.concat(F.lit("remap_mod:"), marg.cast("string")))
+        .when(tsel == 3, F.lit("set_tokens"))
+        .otherwise(F.concat(F.lit("truncate:"), karg.cast("string"))),
+    )
+    pay_len = (F.lit(1) + F.pmod(F.col("id"), F.lit(9))).cast("int")
+    payload = F.when(
+        (op == "insert") | (transform == "set_tokens"),
+        F.transform(
+            F.sequence(F.lit(0), pay_len - 1),
+            lambda j: F.pmod(idx * _MIX + j.cast("long"), F.lit(_VOCAB)).cast("int"),
+        ),
+    )
+    events = ev.select(
+        F.col("id").alias("seq"),
+        F.pmod(idx, F.lit(8)).cast("int").alias("part"),
+        op.alias("op"),
+        F.format_string("doc%08d", idx).alias("doc_id"),
+        payload.alias("tokens"),
+        transform.alias("transform"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("string").alias("extra"),
+    )
+    return seqs, events, n_events
+
+
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end engine run: replay the derived event batch into a LakeTable
+    via ChangeStreamReplayer, return the post-merge table."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="mbdm_entry_")
+    cat = Catalog(wh)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=16)
+    t.append(seqs)
+    rep = ChangeStreamReplayer(spark, wh, "sequences", "entry", evolve_schema=False)
+    rep.apply_changes(events, events_per_batch=max(n_events, 1))
+    return t.read(spark).select("doc_id", "tokens", "n_tok", "source")
+
+
+_CDC_ORACLE = """
+WITH p AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+seqs AS (
+  SELECT printf('doc%08d', i) AS doc_id,
+         list_transform(generate_series(0, (1 + i % 512) - 1),
+                        j -> ((i * 2654435761 + j) % 50257)::INT) AS tokens,
+         (1 + i % 512)::INT AS n_tok,
+         (['web','books','code','wiki'])[(i % 4) + 1] AS source
+  FROM (SELECT unnest(generate_series(0, (SELECT n_docs FROM p) - 1)) AS i)
+),
+ev AS (
+  SELECT e AS seq,
+         (e * 2654435761 + 12345) % (SELECT n_docs + n_docs // 4 FROM p) AS idx
+  FROM (SELECT unnest(generate_series(0, (SELECT 2 * n_docs FROM p) - 1)) AS e)
+),
+events AS (
+  SELECT seq, idx, printf('doc%08d', idx) AS doc_id,
+    CASE WHEN idx >= (SELECT n_docs FROM p) THEN 'insert'
+         WHEN seq % 10 < 8 THEN 'update' ELSE 'delete' END AS op,
+    CASE WHEN seq % 5 = 0 THEN 'append_eos'
+         WHEN seq % 5 = 1 THEN 'drop_first_k'
+         WHEN seq % 5 = 2 THEN 'remap_mod'
+         WHEN seq % 5 = 3 THEN 'set_tokens'
+         ELSE 'truncate' END AS tname,
+    (1 + seq % 7)::INT AS karg,
+    (101 + (seq % 7) * 100)::INT AS marg,
+    list_transform(generate_series(0, (1 + seq % 9) - 1),
+                   j -> ((idx * 2654435761 + j) % 50257)::INT) AS payload
+  FROM ev
+),
+collapsed AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+    FROM events) WHERE rn = 1
+),
+merged AS (
+  SELECT
+    coalesce(s.doc_id, c.doc_id) AS doc_id,
+    CASE
+      WHEN c.doc_id IS NULL THEN s.tokens
+      WHEN c.op = 'insert' THEN c.payload
+      WHEN c.op = 'update' AND s.doc_id IS NOT NULL THEN
+        CASE c.tname
+          WHEN 'append_eos' THEN list_append(s.tokens, 50256::INT)
+          WHEN 'drop_first_k' THEN s.tokens[c.karg + 1:]
+          WHEN 'remap_mod' THEN list_transform(s.tokens, t -> (t % c.marg)::INT)
+          WHEN 'set_tokens' THEN c.payload
+          ELSE s.tokens[:c.karg]
+        END
+    END AS new_tokens,
+    s.source AS s_source,
+    c.op AS op, s.doc_id AS s_doc
+  FROM seqs s FULL OUTER JOIN collapsed c ON s.doc_id = c.doc_id
+)
+SELECT doc_id,
+       new_tokens::INT[] AS tokens,
+       len(new_tokens)::INT AS n_tok,
+       CASE WHEN op = 'insert' AND s_doc IS NULL THEN NULL ELSE s_source END AS source
+FROM merged
+WHERE NOT coalesce(op = 'delete' AND s_doc IS NOT NULL, false)          -- matched deletes drop
+  AND NOT coalesce(op IN ('update','delete') AND s_doc IS NULL, false)  -- unmatched upd/del no-op
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operator surface (SURVEY.md §2) over the driver tables
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4-style aggregation fold (TPC-H Q1 shape, decimal-exact sums)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    return (
+        li.where(F.col("l_quantity") < 50)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,6)), 2)::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))), 2)::DOUBLE AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_quantity < 50
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P3: predicate + projection, pushed to the parquet scan."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("n_chars") > 200) & (F.col("lang") != "en"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_FILTER_PROJECT_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200 AND lang <> 'en'
+"""
+
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 $lookup shape: per-customer embedded order set (count + sum)."""
+    from mongo_bulk_data_migration_spark.operators.lookup import lookup_join
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = lookup_join(cust, orders, "c_custkey", "o_custkey", as_field="orders",
+                         broadcast_right=False)
+    return joined.select(
+        "c_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(
+            F.aggregate(
+                F.col("orders"),
+                F.lit(0).cast("decimal(28,6)"),
+                # keep the accumulator type stable across the fold
+                lambda acc, o: (acc + o["o_totalprice"].cast("decimal(18,6)")).cast("decimal(28,6)"),
+            ),
+            2,
+        ).cast("double").alias("total_spend"),
+    )
+
+
+_LOOKUP_JOIN_ORACLE = """
+SELECT c.c_custkey,
+       count(o.o_orderkey) AS n_orders,
+       round(coalesce(sum(o.o_totalprice::DECIMAL(18,6)), 0), 2)::DOUBLE AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
+def q_count_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 countDocuments(query) pre-pass."""
+    n = (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 25))
+        .count()
+    )
+    return spark.createDataFrame([(n,)], "total_entries long")
+
+
+_COUNT_MATCHING_ORACLE = """
+SELECT count(*)::BIGINT AS total_entries FROM lineitem
+WHERE l_discount >= 0.05 AND l_quantity < 25
+"""
+
+
+def q_hwm_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/R1: per-partition high-water mark (max key per partition)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("part", F.pmod(F.col("user_id"), F.lit(8)).cast("int"))
+        .groupBy("part")
+        .agg(F.max("event_id").alias("max_seq"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_HWM_ORACLE = """
+SELECT (user_id % 8)::INT AS part, max(event_id) AS max_seq, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 last-write-wins collapse (skew-resistant max_by aggregation)."""
+    from mongo_bulk_data_migration_spark.operators.dedup import last_wins
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    lw = last_wins(ev, key="user_id", order="event_id")
+    return lw.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_LAST_WINS_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_resume_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 resume: events strictly above a high-water mark."""
+    ev = _t(spark, sf_dir, "events")
+    hwm = ev.agg((F.max("event_id") - 1000).alias("h")).collect()[0]["h"]
+    return ev.where(F.col("event_id") > hwm).select("event_id", "user_id", "event_type")
+
+
+_RESUME_FILTER_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+WHERE event_id > (SELECT max(event_id) - 1000 FROM events)
+"""
+
+
+def q_metrics_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 metrics fold: per-class counters."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_METRICS_FOLD_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo_bulk_data_migration_spark.operators.dedup_text import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_dups").cast("long").alias("n_dups")
+    )
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
+GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo_bulk_data_migration_spark.functions.text import token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END::INT AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo_bulk_data_migration_spark.functions.text import (
+        avg_word_len,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        avg_word_len(F.col("text")).alias("avg_word_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_TEXT_QUALITY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS ws,
+         string_split_regex(trim(lower(text)), '\\s+') AS lws
+  FROM documents
+)
+SELECT doc_id,
+  round((len(text) - len(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')))
+        / greatest(len(text), 1), 6) AS punct_ratio,
+  round(len(list_filter(lws, x -> x IN ('the','and','of','to','a','in','is','that')))
+        / greatest(len(ws), 1), 6) AS stopword_ratio,
+  round(list_sum(list_transform(ws, x -> len(x)::DOUBLE)) / greatest(len(ws), 1), 6)
+        AS avg_word_len,
+  round(((CASE WHEN len(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN list_sum(list_transform(ws, x -> len(x)::DOUBLE)) / greatest(len(ws),1)
+               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN (len(text) - len(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')))
+               / greatest(len(text),1) <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+FROM w
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo_bulk_data_migration_spark.functions.text import lang_id
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _lang_id_oracle() -> str:
+    from mongo_bulk_data_migration_spark.functions.text import LANG_STOPWORDS
+
+    hit = {
+        lang: "len(list_filter(lws, x -> x IN ({})))".format(
+            ", ".join(f"'{w}'" for w in sws)
+        )
+        for lang, sws in LANG_STOPWORDS.items()
+    }
+    # same stable argmax as functions.text.lang_id: iterate sorted langs,
+    # strictly-greater wins, 'und' when all zero
+    expr = "'und'"
+    score = "0"
+    for lang in sorted(hit):
+        s = hit[lang]
+        expr = f"CASE WHEN {s} > ({score}) THEN '{lang}' ELSE {expr} END"
+        score = f"CASE WHEN {s} > ({score}) THEN {s} ELSE {score} END"
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS lws FROM documents)
+SELECT doc_id, {expr} AS lang_pred FROM w
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo_bulk_data_migration_spark.functions.text import fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard for consecutive-id pairs (verify stage of the
+    dedup pipeline; candidate generation benchmarked separately)."""
+    from mongo_bulk_data_migration_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cand = d.select(F.col("doc_id").alias("id_a")).withColumn("id_b", F.col("id_a") + 1).join(
+        d.select(F.col("doc_id").alias("id_b")), "id_b", "inner"
+    )
+    return ngram_jaccard_pairs(d, candidates=cand, threshold=0.0)
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, 5)
+                        for i in generate_series(1, greatest(len(t) - 4, 1))]) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s))
+             / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature summary per doc (md5-based so the oracle matches;
+    the engine's scale path uses xxhash64 — see operators.dedup_text)."""
+    from mongo_bulk_data_migration_spark.operators.dedup_text import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(F.col("text"), 5)
+
+    def seed_min(i: int):
+        # NB: single-arg lambda only — a two-arg lambda would make transform
+        # pass the array index as the second argument
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(str(i))))))
+
+    sig = F.array(*[seed_min(i) for i in range(8)])
+    return d.select("doc_id", F.md5(F.concat_ws("|", sig)).alias("band_bucket"))
+
+
+_MINHASH_BANDS_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, 5)
+                        for i in generate_series(1, greatest(len(t) - 4, 1))]) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents)
+)
+SELECT doc_id,
+       md5(concat_ws('|',
+         list_min(list_transform(s, x -> md5(x || '0'))),
+         list_min(list_transform(s, x -> md5(x || '1'))),
+         list_min(list_transform(s, x -> md5(x || '2'))),
+         list_min(list_transform(s, x -> md5(x || '3'))),
+         list_min(list_transform(s, x -> md5(x || '4'))),
+         list_min(list_transform(s, x -> md5(x || '5'))),
+         list_min(list_transform(s, x -> md5(x || '6'))),
+         list_min(list_transform(s, x -> md5(x || '7'))))) AS band_bucket
+FROM sh
+"""
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 to the vec_id=0 query vector."""
+    from mongo_bulk_data_migration_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    return brute_force_topk(emb, qvec, k=10)
+
+
+_ANN_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, (SELECT v FROM q))
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product((SELECT v FROM q), (SELECT v FROM q)))), 6) AS score
+FROM e ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector norms (zip_with/aggregate kernel sanity)."""
+    from mongo_bulk_data_migration_spark.operators.dedup_text import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return (
+        emb.select("label", F.round(l2_norm(F.col("v")), 6).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+_EMBEDDING_STATS_ORACLE = """
+WITH e AS (SELECT label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+           FROM embeddings)
+SELECT label, count(*) AS n, round(min(norm), 6) AS min_norm, round(max(norm), 6) AS max_norm
+FROM e GROUP BY label
+"""
+
+
+# -- non-SQL-expressible (pandas-UDF sketches / engine-stateful): rows-only --
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo_bulk_data_migration_spark.operators.dedup_text import simhash_dedup
+
+    return simhash_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text bytes as stand-in payloads -> Arrow
+    mapInPandas feature extraction (decode step stubbed, see module doc)."""
+    from mongo_bulk_data_migration_spark.functions.multimodal import decode_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return decode_features(d)
+
+
+def q_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-stateful: CDC apply + rollback must restore the exact initial
+    sequences table (returns it; deterministic)."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="mbdm_rb_")
+    cat = Catalog(wh)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=16)
+    t.append(seqs)
+    rep = ChangeStreamReplayer(spark, wh, "sequences", "rb", evolve_schema=False)
+    rep.apply_changes(events, events_per_batch=max(n_events // 2, 1))
+    rep.rollback()
+    return t.read(spark).select("doc_id", "tokens", "n_tok", "source")
+
+
+_ROLLBACK_ORACLE = """
+SELECT printf('doc%08d', i) AS doc_id,
+       list_transform(generate_series(0, (1 + i % 512) - 1),
+                      j -> ((i * 2654435761 + j) % 50257)::INT) AS tokens,
+       (1 + i % 512)::INT AS n_tok,
+       (['web','books','code','wiki'])[(i % 4) + 1] AS source
+FROM (SELECT unnest(generate_series(0, (SELECT count(*) FROM documents) - 1)) AS i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: single-batch CDC merge-apply through the full engine."""
+    return q_cdc_merge(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_merge": q_cdc_merge,
+        "rollback_roundtrip": q_rollback_roundtrip,
+        "tpch_q1": q_tpch_q1,
+        "filter_project": q_filter_project,
+        "lookup_join": q_lookup_join,
+        "count_matching": q_count_matching,
+        "hwm_per_part": q_hwm_per_part,
+        "last_wins": q_last_wins,
+        "resume_filter": q_resume_filter,
+        "metrics_fold": q_metrics_fold,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_bands": q_minhash_bands,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_stats": q_embedding_stats,
+        "simhash": q_simhash,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_merge": _CDC_ORACLE,
+        "rollback_roundtrip": _ROLLBACK_ORACLE,
+        "tpch_q1": _TPCH_Q1_ORACLE,
+        "filter_project": _FILTER_PROJECT_ORACLE,
+        "lookup_join": _LOOKUP_JOIN_ORACLE,
+        "count_matching": _COUNT_MATCHING_ORACLE,
+        "hwm_per_part": _HWM_ORACLE,
+        "last_wins": _LAST_WINS_ORACLE,
+        "resume_filter": _RESUME_FILTER_ORACLE,
+        "metrics_fold": _METRICS_FOLD_ORACLE,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "token_count": _TOKEN_COUNT_ORACLE,
+        "text_quality": _TEXT_QUALITY_ORACLE,
+        "lang_id": _lang_id_oracle(),
+        "fingerprint": _FINGERPRINT_ORACLE,
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "minhash_bands": _MINHASH_BANDS_ORACLE,
+        "ann_bruteforce": _ANN_ORACLE,
+        "embedding_stats": _EMBEDDING_STATS_ORACLE,
+        # simhash / multimodal_features: pandas-UDF sketches, rows-only
+    }

@@ -1,0 +1,104 @@
+"""Text-analysis functions for training-data pipelines — all JVM-side.
+
+Every function here returns a Column built from pyspark.sql.functions only
+(whole-stage codegen, no Python in the hot path), and has an equivalent
+ANSI-SQL form for the DuckDB oracle (see ``__spark_entry__.oracle_sql``).
+Token counting / quality / language-ID are the standard pre-filters a
+100 TB corpus pass applies before tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# tiny per-language stopword lists (deterministic heuristic language-ID)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+WORD_SPLIT = "\\s+"
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), WORD_SPLIT)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish proxy: words + punct burden)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(words(text))
+    ).cast("int")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("int")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    stripped = F.regexp_replace(text, "[\\.,;:!\\?'\"()\\[\\]{}-]", "")
+    return F.round(
+        (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1)), 6
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of words that are (lang) stopwords."""
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(words(F.lower(text)), lambda w: F.array_contains(sw, w)))
+    return F.round(hits / F.greatest(F.size(words(text)), F.lit(1)), 6)
+
+
+def avg_word_len(text: Column) -> Column:
+    return F.round(
+        F.aggregate(words(text), F.lit(0).cast("double"), lambda acc, w: acc + F.length(w))
+        / F.greatest(F.size(words(text)), F.lit(1)),
+        6,
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + word shape —
+    the usual cheap pre-filter before expensive dedup/tokenize stages."""
+    n_chars = F.length(text)
+    n_words = F.size(words(text))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 100000), 1.0).otherwise(0.0)
+    wl = avg_word_len(text)
+    shape_ok = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
+    return F.round((len_ok + shape_ok + punct_ok) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per language."""
+    lw = words(F.lower(text))
+    out = {}
+    for lang, sws in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in sws])
+        out[lang] = F.size(F.filter(lw, lambda w: F.array_contains(arr, w)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by stopword hits; deterministic 'und' tiebreak when
+    no stopword matches at all."""
+    scores = lang_scores(text)
+    # stable argmax: iterate in fixed order, strictly-greater wins
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of case/whitespace-normalized text —
+    the exact-dedup key (reference analog: content hash)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))

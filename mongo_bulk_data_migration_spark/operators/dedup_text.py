@@ -1,0 +1,254 @@
+"""Corpus deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale notes (the whole point of each design):
+
+- exact: one hash-groupBy — map-side partial agg, no driver involvement.
+- MinHash/LSH: signatures are built per-row from built-in higher-order
+  functions (shingle -> k seeded xxhash64 mins), then candidates come from a
+  *band-bucket equi-join* — the classic trick that turns an O(n^2) similarity
+  scan into a shuffle on band keys.  Only candidate pairs get verified.
+- SimHash: Arrow-vectorized pandas UDF (numpy bit ops) — one 64-bit sketch
+  per doc; near-dups share the sketch bucket.
+- embedding near-dup: seeded random-hyperplane signs bucket the vectors;
+  cosine verified only within buckets.
+
+All randomness is seeded/deterministic (no Math.random analog — replays are
+stable, as the exactly-once contract requires).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized-content fingerprint."""
+    from ..functions.text import fingerprint
+
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+        .drop("__fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Character k-gram set (distinct) of the normalized text."""
+    norm = F.lower(F.regexp_replace(F.trim(text), "\\s+", " "))
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(sh: Column, num_hashes: int = 16) -> Column:
+    """k seeded min-hashes of the shingle set — array<long> signature."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes).alias("__sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("__sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (all pairs if None —
+    only for small verification sets; at scale always pass LSH candidates)."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("__sh"))
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+    else:
+        pairs = (
+            candidates.join(sh.withColumnRenamed(id_col, "id_a"), "id_a")
+            .withColumnRenamed("__sh", "sh_a")
+            .join(
+                sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), "id_b"
+            )
+        )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace words (numpy bit-vote, per Arrow batch)."""
+    import numpy as np
+    import zlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        ws = str(t).lower().split()
+        if not ws:
+            continue
+        hs = np.array([zlib.crc32(w.encode()) * 2654435761 % (1 << 64) for w in ws], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        sketch = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sketch |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sketch.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group docs by identical SimHash sketch (near-dup bucket)."""
+    return (
+        df.withColumn("__sh", simhash64(F.col(text_col)))
+        .groupBy("__sh")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+        .withColumnRenamed("__sh", "simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (hyperplane LSH buckets)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG, no numpy needed
+    JVM-side: they are baked in as literals)."""
+    planes = []
+    state = seed * 6364136223846793005 + 1442695040888963407
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            v.append((state / float(1 << 63)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-bit bucket id from seeded hyperplanes (int in [0, 2^n_planes))."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        lit_p = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(vec, lit_p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vector pairs: bucket by hyperplane signs, verify cosine
+    within buckets only (candidate set ~ n^2 / 2^planes per bucket)."""
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("__bkt"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
+    )
+    return pairs.where(F.col("cos") >= threshold)
