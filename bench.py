@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries + CDC merge-apply throughput.
+
+Run:  python bench.py            (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "cdc_events_per_sec": ...}
+
+The CDC bench replays a JVM-generated skewed change stream (insert/update/
+delete over pre-tokenized sequences) through the full engine — last-wins
+collapse, changelog pre-images, bucket-pruned MERGE, HWM advance — and
+reports sustained change-events/sec, the BASELINE.json headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# CDC scale knobs (events scale with the sf dir's documents table)
+DOCS_MULT = int(os.environ.get("MBDM_BENCH_DOCS_MULT", "20"))
+EVENTS_PER_DOC = int(os.environ.get("MBDM_BENCH_EVENTS_PER_DOC", "4"))
+N_BATCHES = int(os.environ.get("MBDM_BENCH_BATCHES", "4"))
+NUM_BUCKETS = int(os.environ.get("MBDM_BENCH_BUCKETS", "32"))
+
+HEADLINE = [
+    "tpch_q1",
+    "lookup_join",
+    "last_wins",
+    "dedup_exact",
+    "minhash_bands",
+    "text_quality",
+    "ann_bruteforce",
+]
+
+
+def bench_cdc(spark) -> dict:
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.sources.fixtures import (
+        SEQUENCES_SCHEMA,
+        changes_df,
+        sequences_df,
+    )
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    n_docs_base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    n_docs = n_docs_base * DOCS_MULT
+    n_events = n_docs * EVENTS_PER_DOC
+
+    wh = tempfile.mkdtemp(prefix="mbdm_bench_")
+    try:
+        cat = Catalog(wh)
+        t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=NUM_BUCKETS)
+        t0 = time.monotonic()
+        t.append(sequences_df(spark, n_docs, parallelism=CPUS))
+        load_s = time.monotonic() - t0
+
+        events = changes_df(spark, n_docs, n_events, n_parts=CPUS, parallelism=CPUS)
+        rep = ChangeStreamReplayer(spark, wh, "sequences", "bench", evolve_schema=False)
+        t1 = time.monotonic()
+        metrics = rep.apply_changes(events, events_per_batch=max(n_events // N_BATCHES, 1))
+        replay_s = time.monotonic() - t1
+        return {
+            "n_docs": n_docs,
+            "n_events": n_events,
+            "n_batches": len(metrics),
+            "load_sec": round(load_s, 3),
+            "replay_sec": round(replay_s, 3),
+            "events_per_sec": round(n_events / replay_s, 1),
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def main() -> None:
+    from mongo_bulk_data_migration_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name="mbdm-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    queries = E.queries()
+
+    timings: dict[str, float] = {}
+    # warm the JVM/IO once with a cheap count
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = queries[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    cdc = bench_cdc(spark)
+    timings["cdc_replay"] = cdc["replay_sec"]
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "cdc": cdc,
+        "cdc_events_per_sec": cdc["events_per_sec"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,30 +21,40 @@ ops:
               `RollbackBulk.ts:34-37`, `CHANGLOG.md:60-62`)
   ``delete``  matched -> remove, unmatched -> no-op
 
-Physical strategy
------------------
-Bucket pruning: only buckets containing source keys are read & rewritten
-(copy-on-write bounded by the touched fraction).  Two join strategies:
+Physical strategy — single-pass discipline
+------------------------------------------
+The batch protocol needs the SAME join twice: pre-images for the changelog
+(committed first — WAL ordering) and merged rows for the table.  Naively that
+re-executes the target scan + join per consumer; instead the join output is
+projected to one ``combined`` frame carrying BOTH the pre-image and the
+merged value per column, persisted (memory-and-disk), and every consumer —
+changelog rows, surviving rows, matched-key set, metrics — reads it.  The
+target is scanned exactly once per batch.
 
-- ``broadcast`` (default; batches are bounded by max_events_per_batch):
-  the target scan is NEVER shuffled — matched/updated rows come from a
-  broadcast-hash left join, and the insert set from broadcast anti joins
-  against the (small, <= batch-sized) matched-key set.  At 100 TB this is
-  the difference between rewriting touched buckets at scan speed and
-  shuffling them across the cluster.
-- ``shuffle``: one full-outer sort-merge join for batches too big to
-  broadcast; AQE skew-join splits oversized partitions.  Key uniqueness per
-  side means the join itself cannot skew by multiplicity; skew lives
-  upstream in the event->key collapse (see dedup salting).
+- bucket pruning: only buckets containing source keys are read & rewritten
+  (copy-on-write bounded by the touched fraction);
+- ``broadcast`` strategy (default; batches bounded by events_per_batch): the
+  target side is joined via broadcast-hash — never shuffled; inserts come
+  from a broadcast anti join against the (batch-bounded) matched-key set;
+- ``shuffle`` strategy: one full-outer sort-merge join for batches too large
+  to broadcast; AQE skew-join splits oversized partitions.  Key uniqueness
+  per side means the join cannot skew by multiplicity; skew lives upstream
+  in the event->key collapse (see dedup salting);
+- writes stay bucket-aligned: surviving rows inherit the scan's
+  file-per-bucket partitioning, only the (small) insert set is shuffled —
+  the rewritten data never crosses the wire.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession, functions as F
 
-from ..sources.laketable import BUCKET_COL, LakeTable
+from ..sources.laketable import BUCKET_COL, LakeTable, bucket_expr
 
 OP_COL = "__op"
 _SKEY = "__s_key"
@@ -53,21 +63,34 @@ _SKEY = "__s_key"
 @dataclass
 class MergePlan:
     result: DataFrame            # post-merge rows for the touched buckets
-    preimage: DataFrame          # (key, __op, __matched, __pre_<col>...) pre-merge
+    preimage: DataFrame          # (key, __op, __matched, __pre_<col>..., carries)
     touched: list[int]           # bucket ids to overwrite
     observations: dict[str, Observation] = field(default_factory=dict)
-    source: DataFrame | None = None  # persisted prepared source (unpersist after commit)
+    source: DataFrame | None = None    # staged prepared source (clean lineage)
+    combined: DataFrame | None = None  # staged single-pass join output
+    inserts_frame: DataFrame | None = None  # for n_inserted (cheap: staged parents)
+    scratch_dir: str | None = None     # staging dir, removed on release()
+    result_prepartitioned: bool = False  # result already bucket-organized
 
     def metrics(self) -> dict[str, int]:
         out: dict[str, int] = {}
         for o in self.observations.values():
-            for k, v in o.get.items():
-                out[k] = int(v or 0)
+            try:
+                for k, v in o.get.items():
+                    out[k] = int(v or 0)
+            except Exception:
+                # AQE empty-relation propagation can eliminate an observe
+                # node whose branch produced no rows — treat as zeros
+                pass
+        if "n_inserted" not in out:
+            out["n_inserted"] = (
+                self.inserts_frame.count() if self.inserts_frame is not None else 0
+            )
         return out
 
     def release(self) -> None:
-        if self.source is not None:
-            self.source.unpersist()
+        if self.scratch_dir is not None:
+            shutil.rmtree(self.scratch_dir, ignore_errors=True)
 
 
 def _prep_source(table: LakeTable, src: DataFrame, carry_cols: list[str]) -> DataFrame:
@@ -100,7 +123,7 @@ def build_merge_plan(
     carry_cols: list[str] | None = None,
     value_exprs: dict[str, Column] | None = None,
 ) -> MergePlan:
-    """Build (lazily) the merged rows + pre-images for one batch.
+    """Build the merged rows + pre-images for one batch (single target scan).
 
     The caller materializes ``preimage`` into the changelog FIRST, then
     commits ``result`` via ``run_merge`` — the reference's backup-before-write
@@ -111,12 +134,20 @@ def build_merge_plan(
     update_set = set(update_cols if update_cols is not None else data_cols)
     carry_cols = [c for c in (carry_cols or []) if c in src.columns]
 
-    # persisted: reused for touched-bucket discovery, pre-images, inserts
-    s = _prep_source(table, src, carry_cols).persist()
+    # Stage the prepared source to parquet scratch: the (possibly expensive)
+    # upstream lineage — last-wins aggregation, event decoding — is paid
+    # exactly once; every downstream consumer (touched-bucket discovery, the
+    # broadcast build per action, insert anti join) reads clean columnar
+    # files with pruning instead of re-executing the plan.
+    staged = _prep_source(table, src, carry_cols)
+    scratch = os.path.join(table.root, "_tmp", f"batch-{uuid.uuid4().hex}")
+    staged.write.mode("overwrite").option("compression", "snappy").parquet(
+        os.path.join(scratch, "src")
+    )
+    s = spark.read.schema(staged.schema).parquet(os.path.join(scratch, "src"))
+
     touched = sorted(r[0] for r in s.select(BUCKET_COL).distinct().collect())
     if not touched:
-        # nothing to do (e.g. a fully caught-up FETCH_ALL resume): empty
-        # frames with the right schemas, no observations to wait on
         empty_pre = s.limit(0).select(
             F.col(_SKEY).alias(key),
             F.col(OP_COL),
@@ -130,11 +161,25 @@ def build_merge_plan(
             touched=[],
             observations={},
             source=s,
+            scratch_dir=scratch,
         )
     tgt = table.read(spark, buckets=touched)
 
     op = F.col(OP_COL)
     observations: dict[str, Observation] = {}
+
+    def merged_value(c: str, matched) -> Column:
+        """Post-merge value of column c.  'update'-op values may be computed
+        from BOTH sides via ``value_exprs`` (e.g. a token transform applied
+        to the matched target row) — this keeps CDC updates in-join."""
+        src_c = F.col(f"__s_{c}")
+        upd_c = value_exprs.get(c, src_c) if value_exprs else src_c
+        return (
+            F.when(matched & (op == "put"), src_c)
+            .when(matched & (op == "update") & F.lit(c in update_set), upd_c)
+            .when(op.isNotNull() & ~matched, src_c)  # full-outer inserts
+            .otherwise(F.col(c))
+        )
 
     def src_row(frame: DataFrame) -> DataFrame:
         return frame.select(
@@ -144,64 +189,83 @@ def build_merge_plan(
             ]
         )
 
-    def merged_value(c: str, matched):
-        """Value of column c in the post-merge row.
+    if strategy == "broadcast":
+        # INNER join: combined materializes ONLY source-affected rows (batch-
+        # bounded, not table-bounded).  Untouched rows never pass through a
+        # join output — they flow scan -> write below, which is what keeps
+        # the per-batch working set proportional to the batch at 100 TB.
+        joined = tgt.join(F.broadcast(s), F.col(key) == F.col(_SKEY), "inner")
+        matched = F.lit(True)
+    elif strategy == "shuffle":
+        joined = tgt.join(s, F.col(key) == F.col(_SKEY), "full_outer")
+        matched = F.col(key).isNotNull() & F.col(_SKEY).isNotNull()
+    else:
+        raise ValueError(f"unknown merge strategy: {strategy}")
 
-        'update'-op values may be computed from BOTH sides via ``value_exprs``
-        (e.g. a token transform applied to the matched target row) — this is
-        what keeps CDC updates to a single target scan."""
-        if c == key:
-            return F.coalesce(F.col(key), F.col(_SKEY)).alias(c)
-        src_c = F.col(f"__s_{c}")
-        upd_c = value_exprs.get(c, src_c) if value_exprs else src_c
-        return (
-            F.when(matched & (op == "put"), src_c)
-            .when(matched & (op == "update") & F.lit(c in update_set), upd_c)
-            .when(op.isNotNull() & ~matched, src_c)  # shuffle-path inserts
-            .otherwise(F.col(c))
-            .alias(c)
+    if with_observation:
+        o = Observation("merge-matched")
+        observations["matched"] = o
+        joined = joined.observe(
+            o,
+            _cnt(matched & op.isNotNull()).alias("n_matched"),
+            _cnt(matched & op.isin("put", "update")).alias("n_modified"),
+            _cnt(matched & (op == "delete")).alias("n_removed"),
+            _cnt(matched & (op == "insert")).alias("n_insert_skipped"),
+        )
+
+    # The single-pass projection: key, op, pre-image AND merged value per
+    # col.  Materialized to parquet scratch, not the in-memory cache: every
+    # consumer (changelog: pre cols; merge: new cols; key set: key+op) then
+    # reads a column-pruned slice instead of decoding cached nested rows —
+    # array-heavy columns through InMemoryRelation are a known slow path.
+    combined_plan = joined.select(
+        F.coalesce(F.col(key), F.col(_SKEY)).alias(key),
+        F.col(OP_COL),
+        matched.alias("__matched"),
+        *[F.col(c).alias(f"__pre_{c}") for c in data_cols if c != key],
+        *[merged_value(c, matched).alias(f"__new_{c}") for c in data_cols if c != key],
+        *[F.col(f"__c_{c}").alias(f"__{c}") for c in carry_cols],
+    )
+    combined_plan.write.mode("overwrite").option("compression", "snappy").parquet(
+        os.path.join(scratch, "combined")
+    )
+    combined_cached = spark.read.schema(combined_plan.schema).parquet(
+        os.path.join(scratch, "combined")
+    )
+    combined = combined_cached
+
+    pre_cols = lambda frame: frame.select(  # noqa: E731
+        F.col(key),
+        F.col(OP_COL),
+        F.col("__matched"),
+        *[F.col(f"__pre_{c}") for c in data_cols if c != key],
+        *[F.col(f"__{c}") for c in carry_cols],
+    )
+
+    def new_rows(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(key), *[F.col(f"__new_{c}").alias(c) for c in data_cols if c != key]
         )
 
     if strategy == "broadcast":
-        # 1) matched/updated/deleted rows: broadcast-hash left join, no shuffle
-        j = tgt.join(F.broadcast(s), F.col(key) == F.col(_SKEY), "left_outer")
-        matched = F.col(_SKEY).isNotNull()  # in a left join from tgt, src-hit => matched
-        if with_observation:
-            o = Observation("merge-matched")
-            observations["matched"] = o
-            j = j.observe(
-                o,
-                _cnt(matched).alias("n_matched"),
-                _cnt(matched & op.isin("put", "update")).alias("n_modified"),
-                _cnt(matched & (op == "delete")).alias("n_removed"),
-                _cnt(matched & (op == "insert")).alias("n_insert_skipped"),
-            )
-        # keep: untouched rows, put/update rewrites, and targets of matched
-        # 'insert' ops (insert-if-absent keeps the old row); drop deletes.
-        survivors = j.where(op.isNull() | (op != "delete")).select(
-            *[merged_value(c, matched) for c in data_cols]
-        )
-
-        # matched key set is bounded by the batch size -> broadcastable
-        matched_keys = (
-            tgt.join(F.broadcast(s.select(_SKEY)), F.col(key) == F.col(_SKEY), "left_semi")
-            .select(F.col(key).alias(_SKEY))
-        )
+        # untouched rows: second scan, anti-joined against the broadcast key
+        # set — stays bucket-aligned (no shuffle of the carried-over data)
+        untouched = tgt.join(
+            F.broadcast(s.select(_SKEY)), F.col(key) == F.col(_SKEY), "left_anti"
+        ).withColumn(BUCKET_COL, bucket_expr(key, table.num_buckets))
+        changed_kept = new_rows(combined.where(op != "delete"))
+        # matched keys are batch-bounded -> broadcast the anti join for inserts
+        matched_keys = combined.select(F.col(key).alias(_SKEY))
         unmatched_src = s.join(F.broadcast(matched_keys), _SKEY, "left_anti")
         inserts_src = unmatched_src.where(op.isin("put", "insert"))
-        if with_observation:
-            o2 = Observation("merge-inserted")
-            observations["inserted"] = o2
-            inserts_src = inserts_src.observe(o2, F.count(F.lit(1)).alias("n_inserted"))
-        result = survivors.unionByName(src_row(inserts_src))
-
-        pre_matched = j.where(op.isNotNull()).select(
-            F.col(_SKEY).alias(key),
-            F.col(OP_COL),
-            F.lit(True).alias("__matched"),
-            *[F.col(c).alias(f"__pre_{c}") for c in data_cols if c != key],
-            *[F.col(f"__c_{c}").alias(f"__{c}") for c in carry_cols],
+        # the changed/inserted slice is small: repartition it by bucket so
+        # every write task holds few buckets (bounded file count)
+        changed = (
+            changed_kept.unionByName(src_row(inserts_src))
+            .withColumn(BUCKET_COL, bucket_expr(key, table.num_buckets))
+            .repartition(BUCKET_COL)
         )
+        result = untouched.unionByName(changed)
         pre_unmatched = unmatched_src.select(
             F.col(_SKEY).alias(key),
             F.col(OP_COL),
@@ -213,43 +277,38 @@ def build_merge_plan(
             ],
             *[F.col(f"__c_{c}").alias(f"__{c}") for c in carry_cols],
         )
-        preimage = pre_matched.unionByName(pre_unmatched)
-    elif strategy == "shuffle":
-        j = tgt.join(s, F.col(key) == F.col(_SKEY), "full_outer")
-        matched = F.col(key).isNotNull() & F.col(_SKEY).isNotNull()
-        if with_observation:
-            o = Observation("merge")
-            observations["matched"] = o
-            j = j.observe(
-                o,
-                _cnt(matched & op.isNotNull()).alias("n_matched"),
-                _cnt(matched & op.isin("put", "update")).alias("n_modified"),
-                _cnt(matched & (op == "delete")).alias("n_removed"),
-                _cnt(matched & (op == "insert")).alias("n_insert_skipped"),
-                _cnt(F.col(key).isNull() & op.isin("put", "insert")).alias("n_inserted"),
-            )
+        preimage = pre_cols(combined.where(op.isNotNull())).unionByName(pre_unmatched)
+        inserts_frame = inserts_src
+    else:
+        inserts_frame = combined.where(~F.col("__matched") & op.isin("put", "insert"))
         keep = (
             op.isNull()
-            | (matched & (op != "delete"))
-            | (F.col(key).isNull() & op.isin("put", "insert"))
+            | (F.col("__matched") & (op != "delete"))
+            | (~F.col("__matched") & op.isin("put", "insert"))
         )
-        result = j.where(keep).select(*[merged_value(c, matched) for c in data_cols])
-        preimage = j.where(op.isNotNull()).select(
-            F.col(_SKEY).alias(key),
-            F.col(OP_COL),
-            matched.alias("__matched"),
+        result = new_rows(combined.where(keep))
+        preimage = pre_cols(combined.where(op.isNotNull())).select(
+            key,
+            OP_COL,
+            "__matched",
             *[
-                F.when(matched, F.col(c)).otherwise(F.lit(None)).alias(f"__pre_{c}")
+                F.when(F.col("__matched"), F.col(f"__pre_{c}")).otherwise(F.lit(None)).alias(f"__pre_{c}")
                 for c in data_cols
                 if c != key
             ],
-            *[F.col(f"__c_{c}").alias(f"__{c}") for c in carry_cols],
+            *[F.col(f"__{c}") for c in carry_cols],
         )
-    else:
-        raise ValueError(f"unknown merge strategy: {strategy}")
 
     return MergePlan(
-        result=result, preimage=preimage, touched=touched, observations=observations, source=s
+        result=result,
+        preimage=preimage,
+        touched=touched,
+        observations=observations,
+        source=s,
+        combined=combined_cached,
+        inserts_frame=inserts_frame,
+        scratch_dir=scratch,
+        result_prepartitioned=(strategy == "broadcast"),
     )
 
 
@@ -264,5 +323,10 @@ def run_merge(
     if not plan.touched:
         return table.commit_marker(applied or {}, operation=operation, properties=properties)
     return table.overwrite_buckets(
-        plan.result, plan.touched, operation=operation, applied=applied, properties=properties
+        plan.result,
+        plan.touched,
+        operation=operation,
+        applied=applied,
+        properties=properties,
+        repartition=not plan.result_prepartitioned,
     )

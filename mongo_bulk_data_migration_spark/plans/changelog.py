@@ -91,6 +91,7 @@ class Changelog:
         batch_id: int,
         update_query: str,
         backup_cols: list[str] | None = None,
+        bucket_hint: list[int] | None = None,
     ) -> int:
         """Append pre-images (first-write-wins) + tombstones for one batch.
 
@@ -154,7 +155,7 @@ class Changelog:
         # Bucket-pruned: only changelog buckets containing candidate keys are
         # scanned, and the anti join broadcasts the existing-key set bound by
         # the per-batch key count.
-        existing = self._existing_keys(spark, candidates, kind=KIND_BACKUP)
+        existing = self._existing_keys(spark, candidates, kind=KIND_BACKUP, bucket_hint=bucket_hint)
         fresh = candidates.join(existing, key, "left_anti")
 
         # tombstones: a delete applied to a key whose backup already exists
@@ -188,17 +189,28 @@ class Changelog:
         )
         return int(n_obs.get.get("n_backups") or 0)
 
-    def _existing_keys(self, spark: SparkSession, candidates: DataFrame, kind: str) -> DataFrame:
+    def _existing_keys(
+        self,
+        spark: SparkSession,
+        candidates: DataFrame,
+        kind: str,
+        bucket_hint: list[int] | None = None,
+    ) -> DataFrame:
         tbl = self.table()
         key = self.target.key_col
-        cand_buckets = [
-            r[0]
-            for r in candidates.select(
-                F.pmod(F.xxhash64(F.col(key)), F.lit(tbl.num_buckets)).cast("int").alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
+        if bucket_hint is not None and tbl.num_buckets == self.target.num_buckets:
+            # caller already knows the touched buckets (same key, same
+            # bucketing as the target) — skip the discovery job
+            cand_buckets = bucket_hint
+        else:
+            cand_buckets = [
+                r[0]
+                for r in candidates.select(
+                    F.pmod(F.xxhash64(F.col(key)), F.lit(tbl.num_buckets)).cast("int").alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
         existing = tbl.read(spark, buckets=cand_buckets)
         return existing.where(
             (F.col("migration_id") == self.migration_id) & (F.col("kind") == kind)

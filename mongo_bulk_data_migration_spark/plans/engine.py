@@ -124,7 +124,12 @@ class MongoBulkDataMigrationSpark:
         try:
             start_ver = target.current_version()
             n_backups = cl.append_batch(
-                self.spark, plan.preimage, batch_id, update_query, self._backup_cols(target)
+                self.spark,
+                plan.preimage,
+                batch_id,
+                update_query,
+                self._backup_cols(target),
+                bucket_hint=plan.touched,
             )
             self._record_migration_start(target, start_ver)
             run_merge(
@@ -134,11 +139,11 @@ class MongoBulkDataMigrationSpark:
                 applied={cfg.id: {"batch_id": batch_id}},
                 properties={"writer": cfg.id},
             )
+            m = plan.metrics()  # before release(): reads the staged frames
         finally:
             plan.release()
 
         res = BulkOperationResult()
-        m = plan.metrics()
         m["n_backups"] = max(n_backups, 0)
         m["migration_id"] = cfg.id
         m["batch_id"] = batch_id

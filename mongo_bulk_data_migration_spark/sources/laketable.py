@@ -233,12 +233,17 @@ class LakeTable:
     # ---------------- writes ----------------
 
     def _write_data_files(
-        self, df: DataFrame, version: int, schema: T.StructType
+        self, df: DataFrame, version: int, schema: T.StructType, repartition: bool = True
     ) -> list[dict[str, Any]]:
         """Write df partitioned by bucket under data/snap-<version>/.
 
         Returns manifest entries. The bucket id is re-derivable from the key
         (pmod(xxhash64(key), N)) so it is carried in the directory name only.
+
+        ``repartition=False`` skips the shuffle for frames that are already
+        bucket-aligned (e.g. merge survivors inheriting the scan's
+        file-per-bucket partitioning) — each task then writes one file per
+        bucket it holds.
         """
         snap_rel = os.path.join(DATA_DIR, f"snap-{version:012d}")
         out = os.path.join(self.root, snap_rel)
@@ -247,14 +252,11 @@ class LakeTable:
         nb = self.num_buckets
         if BUCKET_COL not in df.columns:
             df = df.withColumn(BUCKET_COL, bucket_expr(key, nb))
-        # one shuffle, co-partitioned by bucket -> at most a few files/bucket
-        (
-            df.select(*cols, BUCKET_COL)
-            .repartition(BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out)
-        )
+        w = df.select(*cols, BUCKET_COL)
+        if repartition:
+            # one shuffle, co-partitioned by bucket -> few files per bucket
+            w = w.repartition(BUCKET_COL)
+        w.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
         entries: list[dict[str, Any]] = []
         for bdir in sorted(os.listdir(out)):
             if not bdir.startswith(f"{BUCKET_COL}="):
@@ -271,10 +273,11 @@ class LakeTable:
         operation: str = "append",
         applied: dict[str, Any] | None = None,
         properties: dict[str, Any] | None = None,
+        repartition: bool = True,
     ) -> int:
         """Append rows as new files; existing files untouched (one commit)."""
         snap = self._next_snapshot(operation)
-        snap.files.extend(self._write_data_files(df, snap.version, snap.schema))
+        snap.files.extend(self._write_data_files(df, snap.version, snap.schema, repartition))
         if applied:
             snap.applied.update(applied)
         if properties:
@@ -289,6 +292,7 @@ class LakeTable:
         operation: str = "merge",
         applied: dict[str, Any] | None = None,
         properties: dict[str, Any] | None = None,
+        repartition: bool = True,
     ) -> int:
         """Replace the listed buckets' files with df's rows (one commit).
 
@@ -299,7 +303,7 @@ class LakeTable:
         bset = set(buckets)
         snap = self._next_snapshot(operation)
         snap.files = [f for f in snap.files if f["bucket"] not in bset]
-        new_entries = self._write_data_files(df, snap.version, snap.schema)
+        new_entries = self._write_data_files(df, snap.version, snap.schema, repartition)
         stray = [e for e in new_entries if e["bucket"] not in bset]
         if stray:
             raise ValueError(f"write produced rows outside touched buckets: {stray[:3]}")

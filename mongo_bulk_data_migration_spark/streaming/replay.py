@@ -141,16 +141,19 @@ class ChangeStreamReplayer:
         n_events = sum(r["n"] for r in part_rows)
         part_hwm = {int(r["part"]): int(r["max_seq"]) for r in part_rows}
         max_seq = max(part_hwm.values())
+        t_lineage = time.monotonic() - t0
 
         marker = target.applied_marker(cfg.id)
         already_applied = marker is not None and marker.get("batch_id", -1) >= batch_id
 
         n_backups = 0
         merge_metrics: dict[str, Any] = {}
+        t_plan = t_changelog = t_merge = 0.0
         if not already_applied:
             if self.evolve_schema:
                 self._maybe_evolve(target, batch)
             src = self._build_source(target, batch)
+            t1 = time.monotonic()
             plan = build_merge_plan(
                 target,
                 self.spark,
@@ -160,19 +163,24 @@ class ChangeStreamReplayer:
                 carry_cols=["seq", "transform"],
                 value_exprs=self._value_exprs(target),
             )
+            t_plan = time.monotonic() - t1
             try:
                 cl = Changelog(self.catalog, cfg.rollback_table_name, target, cfg.id)
                 start_ver = target.current_version()
+                t2 = time.monotonic()
                 n_backups = cl.append_batch(
                     self.spark,
                     plan.preimage,
                     batch_id,
                     update_query=f'{{"cdc_batch": {batch_id}}}',
                     backup_cols=None,  # full pre-image for CDC
+                    bucket_hint=plan.touched,
                 )
+                t_changelog = time.monotonic() - t2
                 if crash_after and crash_after == (batch_id, "changelog"):
                     raise SimulatedCrash(batch_id, "changelog")
                 self.engine._record_migration_start(target, start_ver)
+                t3 = time.monotonic()
                 run_merge(
                     target,
                     plan,
@@ -180,6 +188,7 @@ class ChangeStreamReplayer:
                     applied={cfg.id: {"batch_id": batch_id, "max_seq": max_seq}},
                     properties={"writer": cfg.id},
                 )
+                t_merge = time.monotonic() - t3
                 merge_metrics = plan.metrics()
             finally:
                 plan.release()
@@ -199,6 +208,10 @@ class ChangeStreamReplayer:
             "n_backups": int(max(n_backups, 0)),
             "replayed": bool(already_applied),
             "wall_s": round(wall, 4),
+            "lineage_s": round(t_lineage, 4),
+            "plan_s": round(t_plan, 4),
+            "changelog_s": round(t_changelog, 4),
+            "merge_s": round(t_merge, 4),
             "events_per_sec": round(n_events / wall, 1) if wall > 0 else None,
             **merge_metrics,
         }
