@@ -1,0 +1,73 @@
+"""spark-submit entry point: replay a change-event log into a lake table.
+
+Cluster usage (the north-rule deployment shape):
+
+    zip -r mbdm.zip mongo_bulk_data_migration_spark
+    spark-submit --py-files mbdm.zip jobs/replay_job.py \
+        --warehouse /data/wh --table sequences --migration-id cdc1 \
+        --events /data/oplog_parquet --events-per-batch 5000000
+
+The events input is a parquet directory with the FIXTURES.md T2 schema
+(seq, part, op, doc_id, tokens, transform, source, extra).  Resume is
+automatic: per-partition HWM offsets + exactly-once batch markers mean
+re-running after any crash converges to the same state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--migration-id", required=True)
+    ap.add_argument("--events", required=True, help="parquet dir of change events")
+    ap.add_argument("--events-per-batch", type=int, default=5_000_000)
+    ap.add_argument("--merge-strategy", choices=["broadcast", "shuffle"], default="broadcast")
+    ap.add_argument("--dedup-salt", type=int, default=None)
+    ap.add_argument("--no-evolve-schema", action="store_true")
+    ap.add_argument("--rollback", action="store_true", help="roll the migration back instead")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from mongo_bulk_data_migration_spark.plans.migration import MigrationOptions
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    spark = SparkSession.builder.appName(f"mbdm-replay-{args.migration_id}").getOrCreate()
+    rep = ChangeStreamReplayer(
+        spark,
+        args.warehouse,
+        args.table,
+        args.migration_id,
+        options=MigrationOptions(
+            merge_strategy=args.merge_strategy, dedup_salt=args.dedup_salt
+        ),
+        evolve_schema=not args.no_evolve_schema,
+    )
+    if args.rollback:
+        res = rep.rollback()
+        print(json.dumps({"rollback": res}, default=str))
+        return
+    events = spark.read.parquet(args.events)
+    metrics = rep.apply_changes(events, events_per_batch=args.events_per_batch)
+    n = sum(m["n_events"] for m in metrics)
+    wall = sum(m["wall_s"] for m in metrics)
+    print(
+        json.dumps(
+            {
+                "batches": len(metrics),
+                "events": n,
+                "wall_s": round(wall, 2),
+                "events_per_sec": round(n / wall, 1) if wall else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -141,7 +141,7 @@ def build_merge_plan(
     # files with pruning instead of re-executing the plan.
     staged = _prep_source(table, src, carry_cols)
     scratch = os.path.join(table.root, "_tmp", f"batch-{uuid.uuid4().hex}")
-    staged.write.mode("overwrite").option("compression", "snappy").parquet(
+    staged.write.mode("overwrite").option("compression", "uncompressed").parquet(
         os.path.join(scratch, "src")
     )
     s = spark.read.schema(staged.schema).parquet(os.path.join(scratch, "src"))
@@ -226,7 +226,7 @@ def build_merge_plan(
         *[merged_value(c, matched).alias(f"__new_{c}") for c in data_cols if c != key],
         *[F.col(f"__c_{c}").alias(f"__{c}") for c in carry_cols],
     )
-    combined_plan.write.mode("overwrite").option("compression", "snappy").parquet(
+    combined_plan.write.mode("overwrite").option("compression", "uncompressed").parquet(
         os.path.join(scratch, "combined")
     )
     combined_cached = spark.read.schema(combined_plan.schema).parquet(

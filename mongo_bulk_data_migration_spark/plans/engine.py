@@ -103,7 +103,13 @@ class MongoBulkDataMigrationSpark:
         key = target.key_col
         df = target.read(self.spark)
         df = self._resolve_query(target, df)
-        proj_cols = [key] + self._projected(target)
+        if cfg.pipeline is not None:  # S2: pipeline source (MBDM.ts:225-230)
+            df = cfg.pipeline(df)
+        if cfg.projection is None and cfg.pipeline is not None:
+            # pipeline outputs ARE the fetched doc (virtual fields included)
+            proj_cols = [key] + [c for c in df.columns if c != key]
+        else:
+            proj_cols = [key] + [c for c in self._projected(target) if c in df.columns]
         df = df.select(*proj_cols)
 
         total = -1  # NO_COUNT_AVAILABLE sentinel (AbstractBulkOperationResults.ts:39)

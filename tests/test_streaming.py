@@ -1,0 +1,70 @@
+"""Structured Streaming tailing mode + compaction maintenance."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from mongo_bulk_data_migration_spark import Catalog
+from mongo_bulk_data_migration_spark.simulator import OracleSimulator
+from mongo_bulk_data_migration_spark.sources.fixtures import (
+    CHANGES_SCHEMA,
+    SEQUENCES_SCHEMA,
+    make_changes,
+    make_sequences,
+)
+from mongo_bulk_data_migration_spark.streaming.structured import StreamingIngest
+
+from conftest import rows_of
+
+
+def test_streaming_ingest_file_stream(spark, warehouse, tmp_path):
+    """Files landing in a directory -> foreachBatch -> engine protocol; end
+    state matches the oracle simulator."""
+    n_docs, n_events = 60, 150
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    rows = make_sequences(n_docs)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+    events = make_changes(n_docs, n_events, n_parts=4, n_batches=3)
+    sim = OracleSimulator(rows)
+
+    # land each micro-batch as one parquet file in the stream dir
+    stream_dir = str(tmp_path / "oplog")
+    os.makedirs(stream_dir)
+    for b in range(3):
+        part = [e for e in events if e["seq"] * 3 // n_events == b]
+        spark.createDataFrame(part, CHANGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        sim.apply_batch(part)
+
+    stream = (
+        spark.readStream.schema(CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    ingest = StreamingIngest(
+        spark, warehouse, "seq", "stream1", checkpoint_dir=str(tmp_path / "ckpt"),
+        evolve_schema=False,
+    )
+    q = ingest.start(stream)
+    q.awaitTermination(300)
+
+    got = rows_of(cat.load_table("seq").read(spark))
+    want = sim.rows()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["doc_id"] == w["doc_id"] and g["tokens"] == w["tokens"]
+
+
+def test_compaction_bounds_file_count(spark, warehouse):
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=2)
+    for i in range(6):  # six appends -> >=6 files per bucket
+        t.append(spark.createDataFrame(make_sequences(10), SEQUENCES_SCHEMA))
+    before = rows_of(t.read(spark))
+    n_files_before = len(t.snapshot().files)
+    compacted = t.compact(spark, max_files_per_bucket=3)
+    assert compacted == 2
+    assert len(t.snapshot().files) < n_files_before
+    assert rows_of(t.read(spark)) == before
