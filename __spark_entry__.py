@@ -357,6 +357,58 @@ FROM events GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 exact resume variant: keys NOT present in the applied set
+    (left_anti — the reference's left_anti alternative to `_id > HWM`)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS): customers with at least one high-value order."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return cust.join(
+        big.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+_SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window: last 3 events per user (rank over the resume ordering key)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+_TOPK_ORACLE = """
+SELECT user_id, event_id, event_type, rn::INT AS rn FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo_bulk_data_migration_spark.operators.dedup_text import exact_dedup
 
@@ -662,6 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_wins": q_last_wins,
         "resume_filter": q_resume_filter,
         "metrics_fold": q_metrics_fold,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "topk_per_group": q_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
@@ -688,6 +743,9 @@ def oracle_sql() -> dict[str, str]:
         "last_wins": _LAST_WINS_ORACLE,
         "resume_filter": _RESUME_FILTER_ORACLE,
         "metrics_fold": _METRICS_FOLD_ORACLE,
+        "anti_join": _ANTI_JOIN_ORACLE,
+        "semi_join": _SEMI_JOIN_ORACLE,
+        "topk_per_group": _TOPK_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,

@@ -32,6 +32,7 @@ cores = {cores}
 n_docs = {n_docs}
 n_events = {n_events}
 batches = {batches}
+strategy = {strategy!r}
 spark = get_spark(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
 wh = tempfile.mkdtemp(prefix=f"scale{{cores}}_")
@@ -40,7 +41,9 @@ try:
     t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets={buckets})
     t.append(sequences_df(spark, n_docs, parallelism=cores))
     events = changes_df(spark, n_docs, n_events, n_parts=cores, parallelism=cores)
-    rep = ChangeStreamReplayer(spark, wh, "sequences", "scale", evolve_schema=False)
+    from mongo_bulk_data_migration_spark.plans.migration import MigrationOptions
+    rep = ChangeStreamReplayer(spark, wh, "sequences", "scale", evolve_schema=False,
+                               options=MigrationOptions(merge_strategy=strategy))
     t0 = time.monotonic()
     ms = rep.apply_changes(events, events_per_batch=max(n_events // batches, 1))
     wall = time.monotonic() - t0
@@ -55,9 +58,10 @@ finally:
 """
 
 
-def run(cores: int, n_docs: int, n_events: int, batches: int, buckets: int) -> dict:
+def run(cores: int, n_docs: int, n_events: int, batches: int, buckets: int, strategy: str = "broadcast") -> dict:
     code = WORKER.format(
-        repo=REPO, cores=cores, n_docs=n_docs, n_events=n_events, batches=batches, buckets=buckets
+        repo=REPO, cores=cores, n_docs=n_docs, n_events=n_events, batches=batches,
+        buckets=buckets, strategy=strategy,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
@@ -78,6 +82,7 @@ def main() -> None:
     ap.add_argument("--n-cores", type=int, default=8)
     ap.add_argument("--xn-cores", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--strategy", choices=["broadcast", "shuffle"], default="broadcast")
     args = ap.parse_args()
     n_events = args.docs * args.events_per_doc
 
@@ -87,8 +92,8 @@ def main() -> None:
     # protocol; a real cluster measurement would use dedicated executors.
     runs_n, runs_4n = [], []
     for _ in range(args.repeats):
-        runs_n.append(run(args.n_cores, args.docs, n_events, args.batches, args.buckets))
-        runs_4n.append(run(args.xn_cores, args.docs, n_events, args.batches, args.buckets))
+        runs_n.append(run(args.n_cores, args.docs, n_events, args.batches, args.buckets, args.strategy))
+        runs_4n.append(run(args.xn_cores, args.docs, n_events, args.batches, args.buckets, args.strategy))
         print(json.dumps({"n": runs_n[-1], "4n": runs_4n[-1]}), flush=True)
     r_n = max(runs_n, key=lambda r: r["events_per_sec"])
     r_4n = max(runs_4n, key=lambda r: r["events_per_sec"])

@@ -21,28 +21,35 @@ ops:
               `RollbackBulk.ts:34-37`, `CHANGLOG.md:60-62`)
   ``delete``  matched -> remove, unmatched -> no-op
 
-Physical strategy — single-pass discipline
-------------------------------------------
+Physical strategy — single-pass, batch-bounded discipline
+----------------------------------------------------------
 The batch protocol needs the SAME join twice: pre-images for the changelog
 (committed first — WAL ordering) and merged rows for the table.  Naively that
-re-executes the target scan + join per consumer; instead the join output is
-projected to one ``combined`` frame carrying BOTH the pre-image and the
-merged value per column, persisted (memory-and-disk), and every consumer —
-changelog rows, surviving rows, matched-key set, metrics — reads it.  The
-target is scanned exactly once per batch.
+re-executes the target scan + join per consumer; instead:
+
+1. the prepared source is STAGED to parquet scratch — its (possibly
+   expensive) upstream lineage (last-wins aggregation, event decode) runs
+   exactly once, and the staging write doubles as the touched-bucket
+   discovery + source-count job via an attached Observation;
+2. the join output is projected to one ``combined`` frame carrying BOTH the
+   pre-image and the merged value per column — materialized to parquet
+   scratch (NOT `.persist()`: the in-memory columnar cache is a slow path
+   for array columns) and holding ONLY source-affected rows, so the
+   per-batch working set is proportional to the batch, not the table;
+3. every consumer (changelog pre-images, merged rows, matched-key set,
+   metrics) reads a column-pruned slice of the scratch files.
 
 - bucket pruning: only buckets containing source keys are read & rewritten
   (copy-on-write bounded by the touched fraction);
-- ``broadcast`` strategy (default; batches bounded by events_per_batch): the
-  target side is joined via broadcast-hash — never shuffled; inserts come
-  from a broadcast anti join against the (batch-bounded) matched-key set;
+- ``broadcast`` strategy (default): the target side is joined broadcast-hash
+  — never shuffled; untouched rows flow scan -> write directly (anti join
+  against the broadcast key set); only the changed/inserted slice is
+  repartitioned by bucket before the partitionBy write;
 - ``shuffle`` strategy: one full-outer sort-merge join for batches too large
-  to broadcast; AQE skew-join splits oversized partitions.  Key uniqueness
-  per side means the join cannot skew by multiplicity; skew lives upstream
-  in the event->key collapse (see dedup salting);
-- writes stay bucket-aligned: surviving rows inherit the scan's
-  file-per-bucket partitioning, only the (small) insert set is shuffled —
-  the rewritten data never crosses the wire.
+  to broadcast (no driver-side broadcast build at all); AQE skew-join splits
+  oversized partitions.  Key uniqueness per side means the join cannot skew
+  by multiplicity; skew lives upstream in the event->key collapse (see dedup
+  salting).
 """
 
 from __future__ import annotations
@@ -77,15 +84,23 @@ class MergePlan:
         for o in self.observations.values():
             try:
                 for k, v in o.get.items():
-                    out[k] = int(v or 0)
+                    if isinstance(v, (int, float)) or v is None:
+                        out[k] = int(v or 0)
             except Exception:
                 # AQE empty-relation propagation can eliminate an observe
                 # node whose branch produced no rows — treat as zeros
                 pass
         if "n_inserted" not in out:
-            out["n_inserted"] = (
-                self.inserts_frame.count() if self.inserts_frame is not None else 0
-            )
+            if {"n_src_upserts", "n_put_matched", "n_insert_skipped"} <= out.keys():
+                # derived, no extra job: upsert-class source rows that neither
+                # replaced a matched row nor were skipped as insert-if-absent
+                out["n_inserted"] = (
+                    out["n_src_upserts"] - out["n_put_matched"] - out["n_insert_skipped"]
+                )
+            elif self.inserts_frame is not None:
+                out["n_inserted"] = self.inserts_frame.count()
+            else:
+                out["n_inserted"] = 0
         return out
 
     def release(self) -> None:
@@ -113,6 +128,32 @@ def _cnt(cond):
     return F.sum(F.when(cond, 1).otherwise(0))
 
 
+_NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
+
+
+def check_source_types(table: LakeTable, src: DataFrame) -> None:
+    """Schema validation (the collection-validator analog,
+    ``/root/reference/src/MongoBulkDataMigration.ts:425-449``): reject source
+    columns whose type cannot safely write into the target column.  The
+    reference's ``bypassUpdateValidation`` flag maps to skipping this check
+    (values are then cast silently)."""
+    from pyspark.sql import types as T
+
+    for f in table.schema.fields:
+        if f.name == table.key_col or f.name not in src.columns:
+            continue
+        st = src.schema[f.name].dataType
+        if st == f.dataType or isinstance(st, T.NullType):
+            continue
+        if st.typeName() in _NUMERIC and f.dataType.typeName() in _NUMERIC:
+            continue  # numeric widening/narrowing is tolerated
+        raise TypeError(
+            f"source column {f.name!r} has type {st.simpleString()} but the "
+            f"target column is {f.dataType.simpleString()}; set "
+            f"bypass_validation=True to cast anyway"
+        )
+
+
 def build_merge_plan(
     table: LakeTable,
     spark: SparkSession,
@@ -122,6 +163,7 @@ def build_merge_plan(
     with_observation: bool = True,
     carry_cols: list[str] | None = None,
     value_exprs: dict[str, Column] | None = None,
+    bypass_validation: bool = False,
 ) -> MergePlan:
     """Build the merged rows + pre-images for one batch (single target scan).
 
@@ -133,6 +175,8 @@ def build_merge_plan(
     data_cols = [f.name for f in table.schema.fields]
     update_set = set(update_cols if update_cols is not None else data_cols)
     carry_cols = [c for c in (carry_cols or []) if c in src.columns]
+    if not bypass_validation:
+        check_source_types(table, src)
 
     # Stage the prepared source to parquet scratch: the (possibly expensive)
     # upstream lineage — last-wins aggregation, event decoding — is paid
@@ -141,12 +185,24 @@ def build_merge_plan(
     # files with pruning instead of re-executing the plan.
     staged = _prep_source(table, src, carry_cols)
     scratch = os.path.join(table.root, "_tmp", f"batch-{uuid.uuid4().hex}")
-    staged.write.mode("overwrite").option("compression", "uncompressed").parquet(
+    observations: dict[str, Observation] = {}
+    o_src = Observation("merge-src")
+    observations["source"] = o_src
+    # the staging write doubles as the touched-bucket discovery and the
+    # source-count job: zero extra actions
+    staged_obs = staged.observe(
+        o_src,
+        F.collect_set(F.col(BUCKET_COL)).alias("touched_buckets"),
+        F.count(F.lit(1)).alias("n_source_keys"),
+        _cnt(F.col(OP_COL).isin("put", "insert")).alias("n_src_upserts"),
+    )
+    staged_obs.write.mode("overwrite").option("compression", "uncompressed").parquet(
         os.path.join(scratch, "src")
     )
     s = spark.read.schema(staged.schema).parquet(os.path.join(scratch, "src"))
 
-    touched = sorted(r[0] for r in s.select(BUCKET_COL).distinct().collect())
+    src_stats = o_src.get
+    touched = sorted(src_stats.get("touched_buckets") or [])
     if not touched:
         empty_pre = s.limit(0).select(
             F.col(_SKEY).alias(key),
@@ -159,14 +215,13 @@ def build_merge_plan(
             result=table.read(spark, buckets=[]),
             preimage=empty_pre,
             touched=[],
-            observations={},
+            observations=observations,
             source=s,
             scratch_dir=scratch,
         )
     tgt = table.read(spark, buckets=touched)
 
     op = F.col(OP_COL)
-    observations: dict[str, Observation] = {}
 
     def merged_value(c: str, matched) -> Column:
         """Post-merge value of column c.  'update'-op values may be computed
@@ -211,6 +266,7 @@ def build_merge_plan(
             _cnt(matched & op.isin("put", "update")).alias("n_modified"),
             _cnt(matched & (op == "delete")).alias("n_removed"),
             _cnt(matched & (op == "insert")).alias("n_insert_skipped"),
+            _cnt(matched & (op == "put")).alias("n_put_matched"),
         )
 
     # The single-pass projection: key, op, pre-image AND merged value per

@@ -126,6 +126,7 @@ class MongoBulkDataMigrationSpark:
             src,
             update_cols=update_cols,
             strategy=cfg.options.merge_strategy,
+            bypass_validation=cfg.options.bypass_validation,
         )
         try:
             start_ver = target.current_version()
@@ -260,6 +261,7 @@ class MongoBulkDataMigrationSpark:
             src,
             update_cols=backup_cols,
             strategy=cfg.options.merge_strategy,
+            bypass_validation=True,  # rollback source comes from our own changelog
         )
         try:
             run_merge(

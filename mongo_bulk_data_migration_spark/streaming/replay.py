@@ -172,6 +172,7 @@ class ChangeStreamReplayer:
                 strategy=cfg.options.merge_strategy,
                 carry_cols=["seq", "transform"],
                 value_exprs=self._value_exprs(target),
+                bypass_validation=cfg.options.bypass_validation,
             )
             t_plan = time.monotonic() - t1
             try:

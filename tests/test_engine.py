@@ -199,3 +199,20 @@ def test_clean_tolerates_absence(spark, warehouse):
     m.update()
     assert m.clean()["dropped"] is True
     assert m.clean()["dropped"] is False
+
+
+def test_validation_rejects_incompatible_types(spark, warehouse):
+    """Collection-validator analog: wrong-typed $set is rejected unless
+    bypass_validation (MBDM.ts:425-449; update.test.ts:355-413)."""
+    import pytest as _pytest
+    cat, t = seed(spark, warehouse, n=5)
+    m = mig(spark, warehouse, update={"tokens": "not-an-array"})
+    with _pytest.raises(TypeError, match="tokens"):
+        m.update()
+    m2 = mig(
+        spark, warehouse, id="m2", update={"tokens": "not-an-array"},
+        options=MigrationOptions(bypass_validation=True),
+    )
+    res = m2.update()  # cast silently -> NULL tokens
+    assert res["nModified"] == 5
+    assert t.read(spark).where("tokens IS NULL").count() == 5
