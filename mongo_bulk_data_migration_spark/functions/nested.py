@@ -75,5 +75,15 @@ def set_where(
 def unset_where(arr: Column, pred: Callable[[Column], Column], field: str) -> Column:
     """M5 inverse shape: `$unset {'keys.$[e].<field>': 1}` with a synthesized
     filter — the reference's rollback of a positional set
-    (`src/lib/computeRollbackQuery.ts:42-72`)."""
-    return F.transform(arr, lambda x: F.when(pred(x), x.dropFields(field)).otherwise(x))
+    (`src/lib/computeRollbackQuery.ts:42-72`).
+
+    Typed columns cannot drop a field for SOME elements only (the element
+    type must stay uniform), so the schemaless `$unset` maps to setting the
+    field NULL — `F.when(lit(False), x[field])` is a typed NULL of the
+    field's own type without needing the schema."""
+    return F.transform(
+        arr,
+        lambda x: F.when(
+            pred(x), x.withField(field, F.when(F.lit(False), x[field]))
+        ).otherwise(x),
+    )

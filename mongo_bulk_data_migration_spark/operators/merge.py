@@ -143,7 +143,8 @@ def check_source_types(table: LakeTable, src: DataFrame) -> None:
         if f.name == table.key_col or f.name not in src.columns:
             continue
         st = src.schema[f.name].dataType
-        if st == f.dataType or isinstance(st, T.NullType):
+        # simpleString comparison: nullability differences are not a type error
+        if st.simpleString() == f.dataType.simpleString() or isinstance(st, T.NullType):
             continue
         if st.typeName() in _NUMERIC and f.dataType.typeName() in _NUMERIC:
             continue  # numeric widening/narrowing is tolerated

@@ -209,10 +209,14 @@ def test_validation_rejects_incompatible_types(spark, warehouse):
     m = mig(spark, warehouse, update={"tokens": "not-an-array"})
     with _pytest.raises(TypeError, match="tokens"):
         m.update()
-    m2 = mig(
-        spark, warehouse, id="m2", update={"tokens": "not-an-array"},
+    # mistyped-but-castable: strict rejects, bypass casts (validator off)
+    m2 = mig(spark, warehouse, id="m2", update={"tokens": F.array(F.lit("7"))})
+    with _pytest.raises(TypeError, match="tokens"):
+        m2.update()
+    m3 = mig(
+        spark, warehouse, id="m3", update={"tokens": F.array(F.lit("7"))},
         options=MigrationOptions(bypass_validation=True),
     )
-    res = m2.update()  # cast silently -> NULL tokens
+    res = m3.update()
     assert res["nModified"] == 5
-    assert t.read(spark).where("tokens IS NULL").count() == 5
+    assert t.read(spark).where("tokens = array(7)").count() == 5
