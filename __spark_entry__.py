@@ -119,7 +119,13 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(seqs)
     rep = ChangeStreamReplayer(spark, wh, "sequences", "entry", evolve_schema=False)
     rep.apply_changes(events, events_per_batch=max(n_events, 1))
-    return t.read(spark).select("doc_id", "tokens", "n_tok", "source")
+    return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
+
+
+def _tokens_digest(col: str):
+    """Sort-stable scalar digest of an array<int> column (the driver's
+    canonicalizer sorts on every column and cannot hash raw lists)."""
+    return F.md5(F.concat_ws(",", F.col(col).cast("array<string>"))).alias("tokens_md5")
 
 
 _CDC_ORACLE = """
@@ -177,7 +183,7 @@ merged AS (
   FROM seqs s FULL OUTER JOIN collapsed c ON s.doc_id = c.doc_id
 )
 SELECT doc_id,
-       new_tokens::INT[] AS tokens,
+       md5(coalesce(array_to_string(new_tokens::INT[], ','), '')) AS tokens_md5,
        len(new_tokens)::INT AS n_tok,
        CASE WHEN op = 'insert' AND s_doc IS NULL THEN NULL ELSE s_source END AS source
 FROM merged
@@ -639,9 +645,22 @@ FROM e GROUP BY label
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup buckets — pure JVM sketch (md5-derived word hash),
+    reproduced bit-exactly by the generated DuckDB oracle."""
     from mongo_bulk_data_migration_spark.operators.dedup_text import simhash_dedup
 
     return simhash_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    from mongo_bulk_data_migration_spark.operators.dedup_text import simhash_sql
+
+    hs, sketch = simhash_sql("text")
+    return f"""
+WITH h AS (SELECT doc_id, {hs} AS __hs FROM documents),
+s AS (SELECT doc_id, {sketch} AS simhash FROM h)
+SELECT simhash, min(doc_id) AS doc_id, count(*) AS n_dups FROM s GROUP BY simhash
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,7 +679,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
-    return decode_features(d)
+    feats = decode_features(d)
+    # digest the float vector: the driver canonicalizer cannot sort raw lists
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("features").alias("n_feat"),
+        F.md5(
+            F.concat_ws(",", F.transform("features", lambda x: F.format_number(x, 6)))
+        ).alias("features_md5"),
+    )
 
 
 def q_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,13 +708,13 @@ def q_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = ChangeStreamReplayer(spark, wh, "sequences", "rb", evolve_schema=False)
     rep.apply_changes(events, events_per_batch=max(n_events // 2, 1))
     rep.rollback()
-    return t.read(spark).select("doc_id", "tokens", "n_tok", "source")
+    return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
 
 
 _ROLLBACK_ORACLE = """
 SELECT printf('doc%08d', i) AS doc_id,
-       list_transform(generate_series(0, (1 + i % 512) - 1),
-                      j -> ((i * 2654435761 + j) % 50257)::INT) AS tokens,
+       md5(array_to_string(list_transform(generate_series(0, (1 + i % 512) - 1),
+                                          j -> ((i * 2654435761 + j) % 50257)::INT), ',')) AS tokens_md5,
        (1 + i % 512)::INT AS n_tok,
        (['web','books','code','wiki'])[(i % 4) + 1] AS source
 FROM (SELECT unnest(generate_series(0, (SELECT count(*) FROM documents) - 1)) AS i)
@@ -755,5 +784,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": _MINHASH_BANDS_ORACLE,
         "ann_bruteforce": _ANN_ORACLE,
         "embedding_stats": _EMBEDDING_STATS_ORACLE,
-        # simhash / multimodal_features: pandas-UDF sketches, rows-only
+        "simhash": _simhash_oracle(),
+        # multimodal_features: mapInPandas decode stub (rows-only check)
     }

@@ -8,8 +8,9 @@ Scale notes (the whole point of each design):
   functions (shingle -> k seeded xxhash64 mins), then candidates come from a
   *band-bucket equi-join* — the classic trick that turns an O(n^2) similarity
   scan into a shuffle on band keys.  Only candidate pairs get verified.
-- SimHash: Arrow-vectorized pandas UDF (numpy bit ops) — one 64-bit sketch
-  per doc; near-dups share the sketch bucket.
+- SimHash: pure JVM expressions (md5-derived 64-bit word hash, single-pass
+  bit-vote fold via higher-order functions) — one 64-bit sketch per doc;
+  near-dups share the sketch bucket.  No Python in the path at all.
 - embedding near-dup: seeded random-hyperplane signs bucket the vectors;
   cosine verified only within buckets.
 
@@ -21,10 +22,7 @@ from __future__ import annotations
 
 import math
 
-import pandas as pd
-
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql import types as T
 
 
 # ---------------------------------------------------------------------------
@@ -147,41 +145,95 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (Arrow-vectorized)
+# SimHash (pure JVM expressions — whole-stage codegen, zero Python)
 # ---------------------------------------------------------------------------
+#
+# word hash = first 8 bytes of md5(word), big-endian, as a signed 64-bit int.
+# Chosen over xxhash64 because it is reproducible in ANSI SQL
+# (DuckDB: ('0x' || substr(md5(w), 1, 16))::UBIGINT), so the sketch is
+# oracle-checkable, while staying entirely JVM-side in Spark.
 
 
-@F.pandas_udf(T.LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace words (numpy bit-vote, per Arrow batch)."""
-    import numpy as np
-    import zlib
+def _simhash_words(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        ws = str(t).lower().split()
-        if not ws:
-            continue
-        hs = np.array([zlib.crc32(w.encode()) * 2654435761 % (1 << 64) for w in ws], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        votes = (2 * bits - 1).sum(axis=0)
-        sketch = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                sketch |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sketch.astype(np.int64))
-    return pd.Series(out)
+
+def simhash_votes(text: Column) -> Column:
+    """array<int>[64] of per-bit votes (sum over words of +-1 per bit).
+
+    Single pass over the word array: ``aggregate`` with an array accumulator,
+    ``zip_with`` folding each word's 64 bit signs in. All codegen'd."""
+    hs = F.transform(
+        _simhash_words(text),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 16), 16, -10).cast("long"),
+    )
+
+    def bits(h: Column) -> Column:
+        return F.array(
+            *[
+                (F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                for b in range(64)
+            ]
+        )
+
+    return F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bits(h), lambda a, b: a + b),
+    )
+
+
+def simhash_from_votes(votes: Column) -> Column:
+    """Fold the 64-vote array into the signed 64-bit sketch (bitwise OR of
+    2^b for every positive vote — no additive overflow, ANSI-safe)."""
+    from functools import reduce
+
+    terms = [
+        F.when(
+            F.element_at(votes, b + 1) > 0,
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    return reduce(lambda a, t: a.bitwiseOR(t), terms)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """Attach the 64-bit SimHash sketch. Two projections so the vote array is
+    evaluated once (not re-expanded into each of the 64 sketch terms)."""
+    return (
+        df.withColumn("__votes", simhash_votes(F.col(text_col)))
+        .withColumn(out_col, simhash_from_votes(F.col("__votes")))
+        .drop("__votes")
+    )
+
+
+def simhash_sql(text_expr: str = "text") -> tuple[str, str]:
+    """(hash-list expr, sketch expr over alias ``__hs``) in ANSI/DuckDB SQL
+    computing the identical sketch — the oracle generator."""
+    ws = f"list_filter(string_split_regex(trim(lower(coalesce({text_expr},''))), '\\s+'), x -> x <> '')"
+    hs = f"list_transform({ws}, x -> ('0x'||substr(md5(x),1,16))::UBIGINT)"
+    terms = []
+    for b in range(64):
+        v = f"list_sum(list_transform(__hs, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        terms.append(f"CASE WHEN coalesce({v},0) > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END")
+    sk = " + ".join(terms)
+    signed = (
+        f"(CASE WHEN ({sk}) >= 9223372036854775808::HUGEINT "
+        f"THEN ({sk}) - 18446744073709551616::HUGEINT ELSE ({sk}) END)::BIGINT"
+    )
+    return hs, signed
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group docs by identical SimHash sketch (near-dup bucket)."""
     return (
-        df.withColumn("__sh", simhash64(F.col(text_col)))
-        .groupBy("__sh")
+        with_simhash(df, text_col, "simhash")
+        .groupBy("simhash")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
-        .withColumnRenamed("__sh", "simhash")
     )
 
 
