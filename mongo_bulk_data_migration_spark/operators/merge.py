@@ -128,13 +128,24 @@ def _cnt(cond):
     return F.sum(F.when(cond, 1).otherwise(0))
 
 
-_NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
+# lossless numeric widenings only: narrowing (long->int) or precision-losing
+# (int->float, long->double) casts corrupt values silently and are rejected
+# unless bypass_validation is set — mirroring the reference's collection
+# validator, which rejects invalid writes unless explicitly bypassed.
+_WIDENINGS = {
+    "byte": {"short", "integer", "long", "float", "double"},
+    "short": {"integer", "long", "float", "double"},
+    "integer": {"long", "double"},
+    "long": set(),
+    "float": {"double"},
+    "double": set(),
+}
 
 
 def check_source_types(table: LakeTable, src: DataFrame) -> None:
     """Schema validation (the collection-validator analog,
     ``/root/reference/src/MongoBulkDataMigration.ts:425-449``): reject source
-    columns whose type cannot safely write into the target column.  The
+    columns whose type cannot losslessly write into the target column.  The
     reference's ``bypassUpdateValidation`` flag maps to skipping this check
     (values are then cast silently)."""
     from pyspark.sql import types as T
@@ -146,8 +157,8 @@ def check_source_types(table: LakeTable, src: DataFrame) -> None:
         # simpleString comparison: nullability differences are not a type error
         if st.simpleString() == f.dataType.simpleString() or isinstance(st, T.NullType):
             continue
-        if st.typeName() in _NUMERIC and f.dataType.typeName() in _NUMERIC:
-            continue  # numeric widening/narrowing is tolerated
+        if f.dataType.typeName() in _WIDENINGS.get(st.typeName(), set()):
+            continue
         raise TypeError(
             f"source column {f.name!r} has type {st.simpleString()} but the "
             f"target column is {f.dataType.simpleString()}; set "

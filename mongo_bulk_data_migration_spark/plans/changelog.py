@@ -31,6 +31,7 @@ from ..sources.laketable import LakeTable
 
 KIND_BACKUP = "backup"
 KIND_TOMBSTONE = "tombstone"
+KIND_REINSERT = "reinsert"
 
 # deterministic logical clock: epoch + batch_id seconds (no wall-clock in data)
 _EPOCH = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
@@ -103,12 +104,16 @@ class Changelog:
 
         MUST be committed before the merge commit (B2 WAL ordering,
         ``/root/reference/src/MongoBulkDataMigration.ts:170-173``).
+
+        No batch-marker fast path here on purpose: after a crash between the
+        changelog commit and the merge commit, a FETCH_ALL resume can process
+        a *different* key set under the same batch_id, and a marker-based skip
+        would silently drop those keys' backups.  Idempotence comes from the
+        per-key first-write-wins anti join (plus exact (key, kind, batch)
+        guards for tombstone/reinsert markers), which is safe under replays
+        regardless of what keys the re-run carries.
         """
         tbl = self.ensure()
-        marker = tbl.applied_marker(self.migration_id)
-        if marker is not None and marker.get("batch_id", -1) >= batch_id:
-            return -1  # already fully appended by a previous (crashed) run
-
         key = self.target.key_col
         # the backup struct follows the CHANGELOG's schema (fixed at creation):
         # columns added to the target later are not in the pre-image and
@@ -151,34 +156,65 @@ class Changelog:
             F.lit(update_query).alias("update_query"),
         )
 
-        # first-write-wins: drop keys already backed up for this migration.
-        # Bucket-pruned: only changelog buckets containing candidate keys are
-        # scanned, and the anti join broadcasts the existing-key set bound by
-        # the per-batch key count.
-        existing = self._existing_keys(spark, candidates, kind=KIND_BACKUP, bucket_hint=bucket_hint)
-        fresh = candidates.join(existing, key, "left_anti")
+        # one bucket-pruned scan of this migration's changelog rows: only
+        # buckets containing candidate keys are read, and all joins against it
+        # broadcast a set bounded by the per-batch key count.
+        log = self._existing_log(spark, candidates, bucket_hint=bucket_hint)
+        backed_up = log.where(F.col("kind") == KIND_BACKUP)
 
-        # tombstones: a delete applied to a key whose backup already exists
-        # in an earlier batch (first event this batch would have op=delete in
-        # its own backup row; the anti join removed it => mark separately)
-        tombs = (
-            preimage.where(F.col("__matched") & (F.col("__op") == "delete"))
-            .join(existing, key, "left_semi")
-            .select(
+        # first-write-wins: drop keys already backed up for this migration
+        fresh = candidates.join(backed_up.select(key), key, "left_anti")
+
+        def marker_rows(base: DataFrame, kind: str, op: str) -> DataFrame:
+            return base.select(
                 F.col(key),
                 F.lit(self.migration_id).alias("migration_id"),
                 F.lit(batch_id).cast("long").alias("batch_id"),
                 F.lit(None).cast("long").alias("seq"),
-                F.lit(KIND_TOMBSTONE).alias("kind"),
-                F.lit("delete").alias("op"),
-                F.lit(True).alias("matched"),
+                F.lit(kind).alias("kind"),
+                F.lit(op).alias("op"),
+                F.lit(kind == KIND_TOMBSTONE).alias("matched"),
                 F.lit(None).cast(tbl.schema["backup"].dataType).alias("backup"),
                 date.alias("date"),
                 F.lit(update_query).alias("update_query"),
             )
+
+        # markers relate this batch's op to a backup taken in an EARLIER
+        # batch (same-batch replays already carry the op in the backup row);
+        # the exact (key, kind, batch) anti join makes replays no-ops.
+        earlier = backed_up.where(F.col("batch_id") < batch_id).select(key)
+
+        def dedup_kind(rows: DataFrame, kind: str) -> DataFrame:
+            done = log.where(
+                (F.col("kind") == kind) & (F.col("batch_id") == batch_id)
+            ).select(key)
+            return rows.join(done, key, "left_anti")
+
+        # tombstone: we deleted a key whose pre-image predates this batch —
+        # rollback must re-insert it even though its backup op says otherwise
+        tombs = dedup_kind(
+            marker_rows(
+                preimage.where(F.col("__matched") & (F.col("__op") == "delete"))
+                .join(earlier, key, "left_semi"),
+                KIND_TOMBSTONE,
+                "delete",
+            ),
+            KIND_TOMBSTONE,
+        )
+        # reinsert: we re-created a key we had deleted in an earlier batch —
+        # the current row is OURS, so rollback must overwrite it with the
+        # pre-image instead of the insert-if-absent no-op
+        reins = dedup_kind(
+            marker_rows(
+                preimage.where(~F.col("__matched") & F.col("__op").isin("put", "insert"))
+                .join(earlier, key, "left_semi"),
+                KIND_REINSERT,
+                "insert",
+            ),
+            KIND_REINSERT,
         )
 
-        rows = fresh.unionByName(tombs)
+        rows = fresh.unionByName(tombs).unionByName(reins)
         n_obs = Observation(f"changelog-b{batch_id}")
         rows = rows.observe(n_obs, F.count(F.lit(1)).alias("n_rows"),
                             F.sum(F.when(F.col("kind") == KIND_BACKUP, 1).otherwise(0)).alias("n_backups"))
@@ -187,15 +223,21 @@ class Changelog:
             operation=f"backup-batch-{batch_id}",
             applied={self.migration_id: {"batch_id": batch_id}},
         )
-        return int(n_obs.get.get("n_backups") or 0)
+        try:
+            return int(n_obs.get.get("n_backups") or 0)
+        except Exception:
+            # AQE empty-relation propagation eliminates the observe node when
+            # the whole append is a replayed no-op — zero fresh backups
+            return 0
 
-    def _existing_keys(
+    def _existing_log(
         self,
         spark: SparkSession,
         candidates: DataFrame,
-        kind: str,
         bucket_hint: list[int] | None = None,
     ) -> DataFrame:
+        """(key, kind, batch_id) of this migration's existing changelog rows,
+        bucket-pruned to the buckets the candidate keys can live in."""
         tbl = self.table()
         key = self.target.key_col
         if bucket_hint is not None and tbl.num_buckets == self.target.num_buckets:
@@ -212,9 +254,9 @@ class Changelog:
                 .collect()
             ]
         existing = tbl.read(spark, buckets=cand_buckets)
-        return existing.where(
-            (F.col("migration_id") == self.migration_id) & (F.col("kind") == kind)
-        ).select(key)
+        return existing.where(F.col("migration_id") == self.migration_id).select(
+            key, "kind", "batch_id"
+        )
 
     # ------------------------------------------------------------------
 
@@ -222,13 +264,18 @@ class Changelog:
         """Build the single-merge rollback source from the changelog.
 
         Per key (first-write-wins => exactly one backup row, plus optional
-        tombstones):
+        tombstone/reinsert markers), decided by the LAST presence-affecting
+        operation this migration performed on the key:
 
-        - backup NULL (we inserted it)            -> __op='delete'
-        - deleted by us (first op delete or any
-          tombstone)                              -> __op='insert' (re-insert
-                                                     pre-image, only-if-absent)
-        - otherwise                               -> __op='update' (restore
+        - backup NULL (we inserted it first)      -> __op='delete'
+        - last op a delete (first-op delete or a
+          later tombstone, with no later reinsert)-> __op='insert' (re-insert
+                                                     pre-image, only-if-absent:
+                                                     out-of-band recreations
+                                                     are not clobbered)
+        - otherwise (never deleted, or deleted
+          then re-inserted BY US — the current
+          row is ours)                            -> __op='update' (restore
                                                      backed-up cols, matched
                                                      only: no resurrect)
         """
@@ -236,12 +283,26 @@ class Changelog:
         key = self.target.key_col
         log = tbl.read(spark).where(F.col("migration_id") == self.migration_id)
         backups = log.where(F.col("kind") == KIND_BACKUP)
-        tomb_keys = log.where(F.col("kind") == KIND_TOMBSTONE).select(key).distinct()
-        b = backups.join(tomb_keys.withColumn("__tomb", F.lit(True)), key, "left")
-        deleted_by_us = (F.col("op") == "delete") | F.col("__tomb").isNotNull()
+        markers = (
+            log.where(F.col("kind").isin(KIND_TOMBSTONE, KIND_REINSERT))
+            .groupBy(key)
+            .agg(
+                F.max(F.when(F.col("kind") == KIND_TOMBSTONE, F.col("batch_id"))).alias("__tomb_b"),
+                F.max(F.when(F.col("kind") == KIND_REINSERT, F.col("batch_id"))).alias("__reins_b"),
+            )
+        )
+        b = backups.join(markers, key, "left")
+        # the backup row's own op counts as a presence event at its batch
+        eff_tomb = F.greatest(
+            F.col("__tomb_b"),
+            F.when(F.col("op") == "delete", F.col("batch_id")),
+        )
+        deleted_last = eff_tomb.isNotNull() & (
+            F.col("__reins_b").isNull() | (eff_tomb > F.col("__reins_b"))
+        )
         op = (
             F.when(~F.col("matched") | F.col("backup").isNull(), F.lit("delete"))
-            .when(deleted_by_us, F.lit("insert"))
+            .when(deleted_last, F.lit("insert"))
             .otherwise(F.lit("update"))
         )
         # emit all CURRENT target data cols: a column added by online schema

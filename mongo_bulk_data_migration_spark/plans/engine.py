@@ -77,11 +77,26 @@ class MongoBulkDataMigrationSpark:
             # reference: {_id: {$gt: last backed-up _id}} (MBDM.ts:326-341);
             # key order is the resume authority. Same documented limitation
             # (R2): keys below the HWM inserted later are skipped.
+            #
+            # The HWM is the max key of MERGED batches only (changelog rows
+            # whose batch_id the target's applied marker covers). After a
+            # crash between changelog commit and merge commit, the crashed
+            # batch's keys are re-fetched and re-applied (backups are
+            # first-write-wins, the merge is idempotent) instead of being
+            # skipped with their forward updates dropped.
             cl = self._changelog(target)
             if not cl.exists():
                 return df
             key = target.key_col
-            last = cl.table().read(self.spark).agg(F.max(key)).collect()[0][0]
+            marker = target.applied_marker(self.config.id)
+            merged_upto = marker.get("batch_id", -1) if marker else -1
+            last = (
+                cl.table()
+                .read(self.spark)
+                .where(F.col("batch_id") <= F.lit(merged_upto))
+                .agg(F.max(key))
+                .collect()[0][0]
+            )
             return df if last is None else df.where(F.col(key) > F.lit(last))
         if isinstance(q, str):
             return df.where(F.expr(q))
@@ -284,16 +299,21 @@ class MongoBulkDataMigrationSpark:
         start = props.get(f"migration_start_{self.config.id}")
         if start is None:
             return False
-        v = target.current_version()
-        while v is not None and v != start:
-            snap = target.snapshot(v)
-            writer = snap.properties.get("writer")
-            if snap.operation not in ("migration-start",) and writer != self.config.id:
+        try:
+            v = target.current_version()
+            while v is not None and v != start:
+                snap = target.snapshot(v)
+                writer = snap.properties.get("writer")
+                if snap.operation not in ("migration-start",) and writer != self.config.id:
+                    return False
+                v = snap.parent
+            if v != start:
                 return False
-            v = snap.parent
-        if v != start:
+            target.rollback_to_snapshot(start)
+        except FileNotFoundError:
+            # expire_snapshots may have removed an intermediate/start
+            # manifest — fall back to the changelog-replay path
             return False
-        target.rollback_to_snapshot(start)
         return True
 
     # ------------------------------------------------------------------

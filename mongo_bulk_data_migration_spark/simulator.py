@@ -49,9 +49,11 @@ class OracleSimulator:
         }
         self.initial = copy.deepcopy(self.state)
         self.scalar_set_cols = scalar_set_cols
-        # changelog: doc_id -> {"backup": row|None, "op": first op}
+        # changelog: doc_id -> {"backup": row|None, "op": first op, "batch": n}
         self.changelog: dict[str, dict[str, Any]] = {}
-        self.tombstones: set[str] = set()
+        self.tombstones: dict[str, int] = {}  # doc_id -> latest tombstone batch
+        self.reinserts: dict[str, int] = {}   # doc_id -> latest reinsert batch
+        self.batch_no = -1
         self.extra_cols: list[str] = []
 
     # ------------------------------------------------------------------
@@ -63,10 +65,12 @@ class OracleSimulator:
         self.changelog[doc_id] = {
             "backup": copy.deepcopy(pre) if pre is not None else None,
             "op": op,
+            "batch": self.batch_no,
         }
 
     def apply_batch(self, events: list[dict[str, Any]], with_changelog: bool = True) -> None:
         """Apply one micro-batch: last-wins per key vs pre-batch state."""
+        self.batch_no += 1
         best: dict[str, dict[str, Any]] = {}
         for ev in events:
             k = ev["doc_id"]
@@ -87,7 +91,9 @@ class OracleSimulator:
                 if matched or op == "insert":
                     self._backup(k, op)
                 if matched and op == "delete" and k in already:
-                    self.tombstones.add(k)
+                    self.tombstones[k] = self.batch_no
+                if not matched and op == "insert" and k in already:
+                    self.reinserts[k] = self.batch_no
             if op == "insert":
                 toks = list(ev["tokens"] or [])
                 row = {
@@ -127,9 +133,17 @@ class OracleSimulator:
     def rollback(self, backup_cols: list[str] | None = None) -> None:
         for k, entry in sorted(self.changelog.items()):
             backup = entry["backup"]
+            # last presence-affecting op by this migration: delete (first-op
+            # delete or tombstone) vs a later reinsert (the current row is
+            # ours — restore the pre-image over it instead of no-oping)
+            eff_tomb = self.tombstones.get(k)
+            if entry["op"] == "delete":
+                eff_tomb = max(eff_tomb if eff_tomb is not None else -1, entry["batch"])
+            reins = self.reinserts.get(k)
+            deleted_last = eff_tomb is not None and (reins is None or eff_tomb > reins)
             if backup is None:
                 self.state.pop(k, None)  # we inserted it -> delete
-            elif entry["op"] == "delete" or k in self.tombstones:
+            elif deleted_last:
                 if k not in self.state:  # re-insert only if absent
                     row = copy.deepcopy(backup)
                     for c in self.extra_cols:
@@ -146,6 +160,7 @@ class OracleSimulator:
                     cur[c] = copy.deepcopy(backup.get(c))
         self.changelog.clear()
         self.tombstones.clear()
+        self.reinserts.clear()
 
     # ------------------------------------------------------------------
 

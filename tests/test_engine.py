@@ -220,3 +220,35 @@ def test_validation_rejects_incompatible_types(spark, warehouse):
     res = m3.update()
     assert res["nModified"] == 5
     assert t.read(spark).where("tokens = array(7)").count() == 5
+
+
+def test_fetch_all_reprocesses_crashed_batch_keys(spark, warehouse):
+    """Crash window between changelog commit and merge commit: the backed-up
+    but unmerged keys must be RE-fetched by FETCH_ALL (resume HWM = max key
+    of MERGED batches only), not skipped with their updates dropped."""
+    from mongo_bulk_data_migration_spark.plans.changelog import Changelog
+
+    cat, t = seed(spark, warehouse, n=10)
+    initial = rows_of(t.read(spark))
+    # simulate the crashed run: backups for the first 4 keys committed,
+    # merge never committed (no applied marker on the target)
+    cl = Changelog(cat, "_rollback_seq_m1", t, "m1")
+    crashed = [r for r in initial[:4]]
+    pre = spark.createDataFrame(
+        [(r["doc_id"], "update", True, r["tokens"], r["n_tok"], r["source"]) for r in crashed],
+        "doc_id string, __op string, __matched boolean, __pre_tokens array<int>, "
+        "__pre_n_tok int, __pre_source string",
+    )
+    assert cl.append_batch(spark, pre, 0, "{}") == 4
+    assert t.applied_marker("m1") is None
+
+    m = mig(spark, warehouse, update={"source": "A"}, query=FETCH_ALL,
+            options=MigrationOptions(dont_count=True))
+    res = m.update()
+    assert res["nModified"] == 10  # crashed keys re-processed, not dropped
+    assert {r["source"] for r in rows_of(t.read(spark))} == {"A"}
+    # their backups stayed first-write-wins (4 old + 6 new)
+    assert res["nBackups"] == 6
+
+    m.rollback()
+    assert rows_of(cat.load_table("seq").read(spark)) == initial

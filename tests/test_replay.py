@@ -201,3 +201,73 @@ def test_zipf_skew_correctness(spark, warehouse):
     rep.apply_changes(changes_spark(spark, events), events_per_batch=150)
     sim_apply_all(sim, events, per_batch=150)
     compare(spark, t, sim)
+
+
+def test_rollback_restores_preimage_after_migration_reinsert(spark, warehouse):
+    """A key deleted by the migration in batch 0 and re-inserted BY the
+    migration in batch 1 must roll back to its PRE-IMAGE, not keep the
+    migrated payload (the insert-if-absent path alone would no-op on the
+    re-inserted row).  Changelog-replay path (foreign marker blocks the
+    snapshot fast path)."""
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    rows = make_sequences(4)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+    sim = OracleSimulator(rows)
+    d1, d2 = "doc00000001", "doc00000002"
+    b0 = [
+        dict(seq=0, part=0, op="delete", doc_id=d1, tokens=None, transform=None, source=None, extra=None),
+        dict(seq=1, part=0, op="delete", doc_id=d2, tokens=None, transform=None, source=None, extra=None),
+    ]
+    b1 = [dict(seq=100, part=0, op="insert", doc_id=d1, tokens=[9, 9], transform=None, source="web", extra=None),
+          dict(seq=101, part=0, op="insert", doc_id=d2, tokens=[8], transform=None, source="web", extra=None)]
+    # d2: deleted AGAIN by us in batch 2 (delete > reinsert) -> re-insert pre-image
+    b2 = [dict(seq=200, part=0, op="delete", doc_id=d2, tokens=None, transform=None, source=None, extra=None)]
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "ri1")
+    rep.apply_changes(changes_spark(spark, b0 + b1 + b2), events_per_batch=100)
+    for b in (b0, b1, b2):
+        sim.apply_batch(b)
+    compare(spark, t, sim)
+    got = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    assert got[d1]["tokens"] == [9, 9] and d2 not in got
+
+    t.commit_marker({}, operation="foreign-touch")  # force changelog path
+    res = rep.rollback()
+    assert not any(b.get("mode") == "snapshot-time-travel" for b in res["batches"])
+    sim.rollback()
+    compare(spark, t, sim)
+    got = {r["doc_id"]: r for r in rows_of(cat.load_table("seq").read(spark))}
+    init = {r["doc_id"]: r for r in rows}
+    assert got[d1]["tokens"] == init[d1]["tokens"]  # pre-image, not [9, 9]
+    assert got[d2]["tokens"] == init[d2]["tokens"]  # re-inserted pre-image
+
+
+def test_changelog_append_replay_is_idempotent_per_key(spark, warehouse):
+    """Re-appending the same batch (crash between changelog and merge) must
+    not duplicate backups, tombstones or reinsert markers, and a resumed
+    run carrying EXTRA keys under the same batch_id must still back them up
+    (no batch-marker fast-path skip)."""
+    from mongo_bulk_data_migration_spark.plans.changelog import Changelog
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    rows = make_sequences(6)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+    cl = Changelog(cat, "_rollback_seq_x", t, "x")
+
+    def preimage(keys, op="update", matched=True):
+        data = [(k, op, matched, rows[int(k[-2:])]["tokens"], len(rows[int(k[-2:])]["tokens"]), "web")
+                for k in keys]
+        return spark.createDataFrame(
+            data,
+            "doc_id string, __op string, __matched boolean, __pre_tokens array<int>, "
+            "__pre_n_tok int, __pre_source string",
+        )
+
+    n1 = cl.append_batch(spark, preimage(["doc00000001", "doc00000002"]), 0, "{}")
+    assert n1 == 2
+    # replay of batch 0 with MORE keys (FETCH_ALL crash-resume shape)
+    n2 = cl.append_batch(spark, preimage(["doc00000001", "doc00000002", "doc00000003"]), 0, "{}")
+    assert n2 == 1  # only the new key backed up; old ones first-write-wins
+    log = rows_of(cl.table().read(spark))
+    assert len([r for r in log if r["kind"] == "backup"]) == 3
