@@ -72,6 +72,8 @@ class MergePlan:
     result: DataFrame            # post-merge rows for the touched buckets
     preimage: DataFrame          # (key, __op, __matched, __pre_<col>..., carries)
     touched: list[int]           # bucket ids to overwrite
+    strategy: str = "broadcast"  # physical strategy actually chosen
+    staged_bytes: int = 0        # on-disk size of the staged prepared source
     observations: dict[str, Observation] = field(default_factory=dict)
     source: DataFrame | None = None    # staged prepared source (clean lineage)
     combined: DataFrame | None = None  # staged single-pass join output
@@ -166,16 +168,35 @@ def check_source_types(table: LakeTable, src: DataFrame) -> None:
         )
 
 
+# 'auto' falls back from broadcast to shuffle above this staged-source size.
+# Staged files are uncompressed parquet, so on-disk bytes track the broadcast
+# build size closely (within the encoding factor); 64 MB staged keeps the
+# expanded hash relation well under typical executor memory at any fan-in.
+BROADCAST_MAX_STAGED_BYTES = 64 << 20
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def build_merge_plan(
     table: LakeTable,
     spark: SparkSession,
     src: DataFrame,
     update_cols: list[str] | None = None,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     with_observation: bool = True,
     carry_cols: list[str] | None = None,
     value_exprs: dict[str, Column] | None = None,
     bypass_validation: bool = False,
+    broadcast_threshold_bytes: int = BROADCAST_MAX_STAGED_BYTES,
 ) -> MergePlan:
     """Build the merged rows + pre-images for one batch (single target scan).
 
@@ -215,6 +236,17 @@ def build_merge_plan(
 
     src_stats = o_src.get
     touched = sorted(src_stats.get("touched_buckets") or [])
+
+    # strategy auto-selection from MEASURED size, not a guess: the staged
+    # uncompressed-parquet footprint of the prepared batch decides whether
+    # the source side is safe to broadcast. At 100 TB / events_per_batch in
+    # the millions, an unconditional broadcast of the batch is the one true
+    # scale-killer in this path — large batches take the full-outer
+    # sort-merge join instead (AQE handles skewed partitions there).
+    staged_bytes = _dir_bytes(os.path.join(scratch, "src"))
+    if strategy == "auto":
+        strategy = "broadcast" if staged_bytes <= broadcast_threshold_bytes else "shuffle"
+
     if not touched:
         empty_pre = s.limit(0).select(
             F.col(_SKEY).alias(key),
@@ -227,6 +259,8 @@ def build_merge_plan(
             result=table.read(spark, buckets=[]),
             preimage=empty_pre,
             touched=[],
+            strategy=strategy,
+            staged_bytes=staged_bytes,
             observations=observations,
             source=s,
             scratch_dir=scratch,
@@ -371,6 +405,8 @@ def build_merge_plan(
         result=result,
         preimage=preimage,
         touched=touched,
+        strategy=strategy,
+        staged_bytes=staged_bytes,
         observations=observations,
         source=s,
         combined=combined_cached,

@@ -141,6 +141,7 @@ class MongoBulkDataMigrationSpark:
             src,
             update_cols=update_cols,
             strategy=cfg.options.merge_strategy,
+            broadcast_threshold_bytes=cfg.options.broadcast_threshold_bytes,
             bypass_validation=cfg.options.bypass_validation,
         )
         try:
@@ -276,6 +277,7 @@ class MongoBulkDataMigrationSpark:
             src,
             update_cols=backup_cols,
             strategy=cfg.options.merge_strategy,
+            broadcast_threshold_bytes=cfg.options.broadcast_threshold_bytes,
             bypass_validation=True,  # rollback source comes from our own changelog
         )
         try:

@@ -99,14 +99,34 @@ class ChangeStreamReplayer:
         (the crash-safety anchor; the reference's batch split is likewise
         deterministic, pinned as [30,30,30,10] in `update.test.ts:228-277`).
         """
+        import shutil
+        import uuid
+
+        from pyspark.sql import Observation
+
         target = self.catalog.load_table(self.config.collection_name)
-        pending = self.hwm.filter_events(self.spark, events).persist()
+        # Stage the HWM-filtered stream to parquet scratch ONCE: the upstream
+        # lineage (source decode / generation) is paid a single time, and
+        # every per-batch seq-range slice is then a column-pruned scan with
+        # row-group min/max skipping.  NOT `.persist()` — InMemoryRelation is
+        # a slow scan path for array-heavy event payloads.  The bounds ride
+        # the staging write via an Observation (no separate agg job).
+        pending_plan = self.hwm.filter_events(self.spark, events)
+        scratch = os.path.join(
+            self.config.warehouse, "_tmp", f"replay-{uuid.uuid4().hex}"
+        )
+        o_bounds = Observation("replay-bounds")
+        pending_plan.observe(
+            o_bounds, F.min("seq").alias("lo"), F.max("seq").alias("hi")
+        ).write.mode("overwrite").option("compression", "uncompressed").parquet(scratch)
         try:
-            bounds = pending.agg(
-                F.min("seq").alias("lo"), F.max("seq").alias("hi")
-            ).collect()[0]
-            if bounds["lo"] is None:
+            try:
+                bounds = o_bounds.get
+            except Exception:
+                bounds = {}  # observe node eliminated: statically empty input
+            if bounds.get("lo") is None:
                 return []
+            pending = self.spark.read.schema(pending_plan.schema).parquet(scratch)
             first_b = int(bounds["lo"]) // events_per_batch
             last_b = int(bounds["hi"]) // events_per_batch
             out: list[dict[str, Any]] = []
@@ -122,7 +142,7 @@ class ChangeStreamReplayer:
                     time.sleep(self.config.options.throttle_ms / 1000.0)
             return out
         finally:
-            pending.unpersist()
+            shutil.rmtree(scratch, ignore_errors=True)
 
     # ------------------------------------------------------------------
 
@@ -133,76 +153,124 @@ class ChangeStreamReplayer:
         batch_id: int,
         crash_after: tuple[int, str] | None = None,
     ) -> dict[str, Any] | None:
+        from pyspark.sql import Observation
+
         t0 = time.monotonic()
         cfg = self.config
 
-        # per-partition lineage: max seq + event count (one pruned scan)
-        part_rows = batch.groupBy("part").agg(
-            F.max("seq").alias("max_seq"), F.count(F.lit(1)).alias("n")
-        ).collect()
-        if not part_rows:
-            return None
-        n_events = sum(r["n"] for r in part_rows)
-        part_hwm = {int(r["part"]): int(r["max_seq"]) for r in part_rows}
-        max_seq = max(part_hwm.values())
-        t_lineage = time.monotonic() - t0
-
         marker = target.applied_marker(cfg.id)
         already_applied = marker is not None and marker.get("batch_id", -1) >= batch_id
+
+        if already_applied:
+            # rare replay-of-applied path (crash after merge, before HWM):
+            # lineage from the raw batch — one pruned 2-column scan
+            part_rows = batch.groupBy("part").agg(
+                F.max("seq").alias("max_seq"), F.count(F.lit(1)).alias("n")
+            ).collect()
+            if not part_rows:
+                return None
+            n_events = sum(r["n"] for r in part_rows)
+            part_hwm = {int(r["part"]): int(r["max_seq"]) for r in part_rows}
+            max_seq = max(part_hwm.values())
+            if crash_after and crash_after == (batch_id, "merge"):
+                raise SimulatedCrash(batch_id, "merge")
+            self.hwm.advance(part_hwm, batch_id)
+            wall = time.monotonic() - t0
+            m = {
+                "migration_id": cfg.id,
+                "batch_id": batch_id,
+                "n_events": int(n_events),
+                "n_parts": len(part_hwm),
+                "part_hwm": part_hwm,
+                "max_seq": max_seq,
+                "n_backups": 0,
+                "n_dead_lettered": 0,
+                "replayed": True,
+                "wall_s": round(wall, 4),
+                "events_per_sec": round(n_events / wall, 1) if wall > 0 else None,
+            }
+            self.metrics.emit(m)
+            return m
 
         n_backups = 0
         n_dead = 0
         merge_metrics: dict[str, Any] = {}
         t_plan = t_changelog = t_merge = 0.0
-        if not already_applied:
-            if self.evolve_schema:
-                self._maybe_evolve(target, batch)
-            if cfg.options.continue_on_bulk_write_error:
-                # B5: malformed events route to a dead-letter table instead
-                # of failing the batch (`AbstractBulkOperationResults.ts:60-73`);
-                # the batch commit itself stays all-or-nothing.
-                batch, n_dead = self._dead_letter(batch, batch_id)
-            src = self._build_source(target, batch)
-            t1 = time.monotonic()
-            plan = build_merge_plan(
-                target,
+        if self.evolve_schema:
+            self._maybe_evolve(target, batch)
+        if cfg.options.continue_on_bulk_write_error:
+            # B5: malformed events route to a dead-letter table instead
+            # of failing the batch (`AbstractBulkOperationResults.ts:60-73`);
+            # the batch commit itself stays all-or-nothing.
+            batch, n_dead = self._dead_letter(batch, batch_id)
+        # the raw-event count rides the staging write via an Observation
+        # (filled by the first full-scan job over the batch — no
+        # dedicated lineage job; `part` is carried through the collapse
+        # so per-part HWMs come from the tiny staged source instead)
+        o_ev = Observation(f"cdc-b{batch_id}-events")
+        batch = batch.observe(o_ev, F.count(F.lit(1)).alias("n_events"))
+        src = self._build_source(target, batch)
+        t1 = time.monotonic()
+        plan = build_merge_plan(
+            target,
+            self.spark,
+            src,
+            update_cols=self._update_cols(target),
+            strategy=cfg.options.merge_strategy,
+            broadcast_threshold_bytes=cfg.options.broadcast_threshold_bytes,
+            carry_cols=["seq", "transform", "part"],
+            value_exprs=self._value_exprs(target),
+            bypass_validation=cfg.options.bypass_validation,
+        )
+        t_plan = time.monotonic() - t1
+        # per-partition lineage from the staged collapsed source: max seq
+        # per part survives the last-wins collapse whenever a key's
+        # events stay in one part (the CDC shard model); if not, the
+        # collapsed max can only LAG the raw max, which is safe — the
+        # batch marker makes any re-filtered events replay as no-ops.
+        part_rows = plan.source.groupBy("__c_part").agg(
+            F.max("__c_seq").alias("max_seq")
+        ).collect()
+        if not part_rows:
+            plan.release()
+            return None
+        try:
+            n_events = int(o_ev.get.get("n_events") or 0) + n_dead
+        except Exception:
+            n_events = 0
+        part_hwm = {int(r["__c_part"]): int(r["max_seq"]) for r in part_rows}
+        max_seq = max(part_hwm.values())
+        t_lineage = time.monotonic() - t0 - t_plan
+        try:
+            cl = Changelog(self.catalog, cfg.rollback_table_name, target, cfg.id)
+            start_ver = target.current_version()
+            t2 = time.monotonic()
+            n_backups = cl.append_batch(
                 self.spark,
-                src,
-                update_cols=self._update_cols(target),
-                strategy=cfg.options.merge_strategy,
-                carry_cols=["seq", "transform"],
-                value_exprs=self._value_exprs(target),
-                bypass_validation=cfg.options.bypass_validation,
+                plan.preimage,
+                batch_id,
+                update_query=f'{{"cdc_batch": {batch_id}}}',
+                backup_cols=None,  # full pre-image for CDC
+                bucket_hint=plan.touched,
             )
-            t_plan = time.monotonic() - t1
-            try:
-                cl = Changelog(self.catalog, cfg.rollback_table_name, target, cfg.id)
-                start_ver = target.current_version()
-                t2 = time.monotonic()
-                n_backups = cl.append_batch(
-                    self.spark,
-                    plan.preimage,
-                    batch_id,
-                    update_query=f'{{"cdc_batch": {batch_id}}}',
-                    backup_cols=None,  # full pre-image for CDC
-                    bucket_hint=plan.touched,
-                )
-                t_changelog = time.monotonic() - t2
-                if crash_after and crash_after == (batch_id, "changelog"):
-                    raise SimulatedCrash(batch_id, "changelog")
-                self.engine._record_migration_start(target, start_ver)
-                t3 = time.monotonic()
-                run_merge(
-                    target,
-                    plan,
-                    operation=f"cdc-{cfg.id}-batch-{batch_id}",
-                    applied={cfg.id: {"batch_id": batch_id, "max_seq": max_seq}},
-                    properties={"writer": cfg.id},
-                )
-                t_merge = time.monotonic() - t3
-                merge_metrics = plan.metrics()
-            finally:
-                plan.release()
+            t_changelog = time.monotonic() - t2
+            if crash_after and crash_after == (batch_id, "changelog"):
+                raise SimulatedCrash(batch_id, "changelog")
+            self.engine._record_migration_start(target, start_ver)
+            t3 = time.monotonic()
+            run_merge(
+                target,
+                plan,
+                operation=f"cdc-{cfg.id}-batch-{batch_id}",
+                applied={cfg.id: {"batch_id": batch_id, "max_seq": max_seq}},
+                properties={"writer": cfg.id},
+            )
+            t_merge = time.monotonic() - t3
+            merge_metrics = plan.metrics()
+            merge_metrics["strategy"] = plan.strategy
+            merge_metrics["staged_bytes"] = plan.staged_bytes
+        finally:
+            plan.release()
 
         if crash_after and crash_after == (batch_id, "merge"):
             raise SimulatedCrash(batch_id, "merge")

@@ -129,3 +129,25 @@ def test_merge_untouched_buckets_not_rewritten(spark, warehouse):
     carried = files_before & files_after
     # all buckets except the single touched one carried over by reference
     assert len(carried) >= len(files_before) - 2
+
+
+def test_merge_auto_strategy_by_staged_size(spark, warehouse):
+    """'auto' broadcasts small batches and falls back to shuffle when the
+    staged source exceeds the threshold (the 100-TB guard: never broadcast a
+    multi-GB batch). Results must be identical either way."""
+    t = make_table(spark, warehouse, n=30)
+    rows = [("doc00000001", "put", [9, 9], 2, "x"), ("doc99999001", "put", [1], 1, "y")]
+
+    plan = build_merge_plan(t, spark, src_df(spark, rows), strategy="auto")
+    assert plan.strategy == "broadcast" and plan.staged_bytes > 0
+    plan.release()
+
+    plan2 = build_merge_plan(
+        t, spark, src_df(spark, rows), strategy="auto", broadcast_threshold_bytes=1
+    )
+    assert plan2.strategy == "shuffle"
+    run_merge(t, plan2)
+    plan2.release()
+    after = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    assert after["doc00000001"]["tokens"] == [9, 9]
+    assert after["doc99999001"]["tokens"] == [1]
