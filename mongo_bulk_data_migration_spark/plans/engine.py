@@ -133,50 +133,98 @@ class MongoBulkDataMigrationSpark:
 
         src, update_cols, update_query = self._build_update_source(target, df)
 
-        cl = self._changelog(target)
-        batch_id = self._next_batch_id(target)
-        plan = build_merge_plan(
-            target,
-            self.spark,
-            src,
-            update_cols=update_cols,
-            strategy=cfg.options.merge_strategy,
-            broadcast_threshold_bytes=cfg.options.broadcast_threshold_bytes,
-            bypass_validation=cfg.options.bypass_validation,
-        )
-        try:
-            start_ver = target.current_version()
-            n_backups = cl.append_batch(
-                self.spark,
-                plan.preimage,
-                batch_id,
-                update_query,
-                self._backup_cols(target),
-                bucket_hint=plan.touched,
-            )
-            self._record_migration_start(target, start_ver)
-            run_merge(
-                target,
-                plan,
-                operation=f"migration-{cfg.id}-batch-{batch_id}",
-                applied={cfg.id: {"batch_id": batch_id}},
-                properties={"writer": cfg.id},
-            )
-            m = plan.metrics()  # before release(): reads the staged frames
-        finally:
-            plan.release()
+        # B1: maxBulkSize micro-batching (MBDM.ts:25,160-201): the update set
+        # commits in <= max_bulk_size-row batches in key order — the
+        # deterministic analog of the reference's cursor-order [30,30,30,10]
+        # split (update.test.ts:228-277). Each batch is its own
+        # changelog-append + MERGE commit, so a 10^9-row migration gets
+        # incremental checkpoints instead of one giant commit.
+        batches = self._split_batches(src, target.key_col, cfg.options.max_bulk_size, total)
 
+        cl = self._changelog(target)
+        base_batch = self._next_batch_id(target)
         res = BulkOperationResult()
-        m["n_backups"] = max(n_backups, 0)
-        m["migration_id"] = cfg.id
-        m["batch_id"] = batch_id
-        m["total_entries"] = total
-        m["wall_s"] = round(time.monotonic() - t0, 3)
-        res.fold(m)
-        MetricsSink(cfg.warehouse, cfg.id).emit(m)
-        if cfg.options.throttle_ms:
-            time.sleep(cfg.options.throttle_ms / 1000.0)  # B3
-        return res.as_dict()
+        sink = MetricsSink(cfg.warehouse, cfg.id)
+        for i, bsrc in enumerate(batches):
+            batch_id = base_batch + i
+            tb = time.monotonic()
+            plan = build_merge_plan(
+                target,
+                self.spark,
+                bsrc,
+                update_cols=update_cols,
+                strategy=cfg.options.merge_strategy,
+                broadcast_threshold_bytes=cfg.options.broadcast_threshold_bytes,
+                bypass_validation=cfg.options.bypass_validation,
+            )
+            try:
+                start_ver = target.current_version()
+                n_backups = cl.append_batch(
+                    self.spark,
+                    plan.preimage,
+                    batch_id,
+                    update_query,
+                    self._backup_cols(target),
+                    bucket_hint=plan.touched,
+                )
+                self._record_migration_start(target, start_ver)
+                run_merge(
+                    target,
+                    plan,
+                    operation=f"migration-{cfg.id}-batch-{batch_id}",
+                    applied={cfg.id: {"batch_id": batch_id}},
+                    properties={"writer": cfg.id},
+                )
+                m = plan.metrics()  # before release(): reads the staged frames
+            finally:
+                plan.release()
+            m["n_backups"] = max(n_backups, 0)
+            m["migration_id"] = cfg.id
+            m["batch_id"] = batch_id
+            m["total_entries"] = total
+            m["wall_s"] = round(time.monotonic() - tb, 3)
+            res.fold(m)
+            sink.emit(m)
+            if cfg.options.throttle_ms:
+                time.sleep(cfg.options.throttle_ms / 1000.0)  # B3
+        out = res.as_dict()
+        out["wall_s"] = round(time.monotonic() - t0, 3)
+        return out
+
+    def _split_batches(self, src: DataFrame, key: str, max_bulk_size: int,
+                       total: int) -> list[DataFrame]:
+        """Split the update set into key-ordered <= max_bulk_size chunks.
+
+        Boundary keys come from one row_number pass over the KEY COLUMN only
+        (narrow single-column sort); each batch is then a pure key-range
+        predicate over the source — deterministic, pushdown-friendly, and
+        independent of physical partitioning.  At extreme scale, swap the
+        exact boundaries for repartitionByRange samples if the exact-size
+        split is not required; the per-batch commit protocol is unchanged.
+        """
+        if not max_bulk_size or (0 <= total <= max_bulk_size):
+            return [src]
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(Window.orderBy(key))
+        marks = [
+            r[0]
+            for r in src.select(key)
+            .withColumn("__rn", rn)
+            .where((F.col("__rn") - 1) % max_bulk_size == 0)
+            .orderBy("__rn")
+            .select(key)
+            .collect()
+        ]
+        if len(marks) <= 1:
+            return [src]
+        out = []
+        for i, lo in enumerate(marks):
+            cond = F.col(key) >= F.lit(lo)
+            if i + 1 < len(marks):
+                cond = cond & (F.col(key) < F.lit(marks[i + 1]))
+            out.append(src.where(cond))
+        return out
 
     def _projected(self, target: LakeTable) -> list[str]:
         key = target.key_col

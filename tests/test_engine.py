@@ -252,3 +252,29 @@ def test_fetch_all_reprocesses_crashed_batch_keys(spark, warehouse):
 
     m.rollback()
     assert rows_of(cat.load_table("seq").read(spark)) == initial
+
+
+def test_max_bulk_size_batch_split(spark, warehouse):
+    """B1: maxBulkSize chunks the update into key-ordered micro-commits —
+    the reference's [30,30,30,10] split (MBDM.ts:25,160-201;
+    update.test.ts:228-277) — and rollback still restores everything."""
+    cat, t = seed(spark, warehouse, n=100)
+    initial = rows_of(t.read(spark))
+    m = mig(spark, warehouse, update={"source": "B"},
+            options=MigrationOptions(max_bulk_size=30))
+    res = m.update()
+    assert [b["n_matched"] for b in res["batches"]] == [30, 30, 30, 10]
+    assert res["nModified"] == 100 and res["nBackups"] == 100
+    assert {r["source"] for r in rows_of(t.read(spark))} == {"B"}
+    # four data commits -> four batch markers folded into one applied entry
+    assert t.applied_marker("m1")["batch_id"] == 3
+    m.rollback()
+    assert rows_of(cat.load_table("seq").read(spark)) == initial
+
+
+def test_max_bulk_size_single_batch_when_under(spark, warehouse):
+    cat, t = seed(spark, warehouse, n=10)
+    m = mig(spark, warehouse, update={"source": "B"},
+            options=MigrationOptions(max_bulk_size=30))
+    res = m.update()
+    assert len(res["batches"]) == 1 and res["nModified"] == 10
