@@ -21,17 +21,26 @@ def lookup_join(
     as_field: str = "matches",
     broadcast_right: bool = True,
 ) -> DataFrame:
+    """Pre-aggregate the RIGHT side per foreign key, then one left join.
+
+    The naive shape (join then groupBy over every left column) shuffles full
+    left rows as grouping keys and collapses duplicate left rows; here the
+    only shuffle is the right side's hash aggregation on the foreign key
+    (map-side partial combine), the left never shuffles when the aggregated
+    right broadcasts, and duplicate left rows are preserved — the actual
+    $lookup semantics."""
     rcols = [c for c in right.columns]
-    r = right.select(
-        F.col(foreign_field).alias("__fk"), F.struct(*[F.col(c) for c in rcols]).alias("__row")
+    grouped = right.groupBy(F.col(foreign_field).alias("__fk")).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in rcols])).alias(as_field),
+        F.count(F.lit(1)).alias(f"n_{as_field}"),
     )
     if broadcast_right:
-        r = F.broadcast(r)
-    joined = left.join(r, left[local_field] == r["__fk"], "left")
+        grouped = F.broadcast(grouped)
+    joined = left.join(grouped, left[local_field] == grouped["__fk"], "left")
+    row_type = right.select(F.struct(*rcols).alias("x")).schema["x"].dataType.simpleString()
+    empty = F.array().cast(f"array<{row_type}>")  # unmatched -> [] like $lookup
     return (
-        joined.groupBy(*[left[c] for c in left.columns])
-        .agg(
-            F.collect_list("__row").alias(as_field),
-            F.count("__fk").alias(f"n_{as_field}"),
-        )
+        joined.drop("__fk")
+        .withColumn(as_field, F.coalesce(F.col(as_field), empty))
+        .withColumn(f"n_{as_field}", F.coalesce(F.col(f"n_{as_field}"), F.lit(0)))
     )

@@ -258,8 +258,23 @@ class MongoBulkDataMigrationSpark:
                 None,
                 json.dumps("DELETE_OPERATION"),
             )
-        if isinstance(u, dict):  # M1 $set analog: {col: Column|literal}
-            exprs = {c: (v if isinstance(v, Column) else F.lit(v)) for c, v in u.items()}
+        if isinstance(u, dict):  # M1 $set / M2 $unset analog
+            from .migration import NO_UPDATE
+
+            u = dict(u)
+            # M2: {"$unset": [cols]} -> typed NULL writes; the inverse comes
+            # from the pre-image automatically (rollback.test.ts:378-475)
+            unset_cols = u.pop("$unset", [])
+            # NO_UPDATE as a dict value drops the column from the update set
+            # (conditional spec building); P4's per-row analog is
+            # skip_unchanged below
+            exprs = {
+                c: (v if isinstance(v, Column) else F.lit(v))
+                for c, v in u.items()
+                if v is not NO_UPDATE
+            }
+            for c in unset_cols:
+                exprs[c] = F.lit(None).cast(target.schema[c].dataType)
             out = df
             if cfg.options.skip_unchanged:  # P4 NO_UPDATE analog — filter
                 # against the ORIGINAL column values, before any rewrite
@@ -271,7 +286,10 @@ class MongoBulkDataMigrationSpark:
             for c, e in exprs.items():
                 out = out.withColumn(c, e)
             out = out.withColumn(OP_COL, F.lit("update"))
-            return out, list(exprs.keys()), json.dumps({"$set": sorted(exprs.keys())})
+            uq = {"$set": sorted(set(exprs) - set(unset_cols))}
+            if unset_cols:
+                uq["$unset"] = sorted(unset_cols)
+            return out, list(exprs.keys()), json.dumps(uq)
         if isinstance(u, tuple) and len(u) == 2 and u[0] == "transform":  # M4 named DSL
             from ..functions.tokens import parse_transform, transform_expr
 
@@ -285,6 +303,13 @@ class MongoBulkDataMigrationSpark:
             return out, ["tokens", "n_tok"], json.dumps({"transform": u[1]})
         if callable(u):  # M4 whole-batch vectorized callback
             out = u(df)
+            if "__no_update" in out.columns:
+                # P4 NO_UPDATE per-row skip: flagged rows are neither backed
+                # up nor written (MBDM.ts:284-286) — the vectorized analog of
+                # the callback returning the NO_UPDATE sentinel
+                out = out.where(
+                    ~F.coalesce(F.col("__no_update"), F.lit(False))
+                ).drop("__no_update")
             if OP_COL not in out.columns:
                 out = out.withColumn(OP_COL, F.lit("update"))
             cols = [c for c in out.columns if c not in (key, OP_COL)]

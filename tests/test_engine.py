@@ -278,3 +278,100 @@ def test_max_bulk_size_single_batch_when_under(spark, warehouse):
             options=MigrationOptions(max_bulk_size=30))
     res = m.update()
     assert len(res["batches"]) == 1 and res["nModified"] == 10
+
+
+def test_pipeline_source_update(spark, warehouse):
+    """S2: an aggregation-pipeline source feeds virtual fields into the
+    update; pipeline outputs ARE the fetched doc (MBDM.ts:225-230;
+    update.test.ts:279-353)."""
+    cat, t = seed(spark, warehouse, n=12)
+    initial = rows_of(t.read(spark))
+
+    def pipe(df):
+        return df.withColumn("tagged", F.concat(F.col("source"), F.lit("+pipe")))
+
+    m = mig(spark, warehouse, pipeline=pipe,
+            update=lambda df: df.withColumn("source", F.col("tagged")).drop("tagged"))
+    res = m.update()
+    assert res["nModified"] == 12 and res["batches"][0]["total_entries"] == 12
+    assert all(r["source"].endswith("+pipe") for r in rows_of(t.read(spark)))
+    m.rollback()
+    assert rows_of(cat.load_table("seq").read(spark)) == initial
+
+
+def test_pipeline_count_empty_is_zero(spark, warehouse):
+    """A2: $count over a pipeline source; an empty pipeline cursor counts 0
+    and writes nothing (MBDM.ts:252-259; update.test.ts:337-352)."""
+    cat, t = seed(spark, warehouse, n=8)
+    before = rows_of(t.read(spark))
+    m = mig(spark, warehouse, pipeline=lambda df: df.where(F.lit(False)),
+            update={"source": "X"})
+    res = m.update()
+    assert res["batches"][0]["total_entries"] == 0
+    assert res["nModified"] == 0 and res["nBackups"] == 0
+    assert rows_of(t.read(spark)) == before
+
+
+def test_projection_backup_filter_scopes_backup(spark, warehouse):
+    """P2: projectionBackupFilter backs up a SUBSET of the projection;
+    rollback restores only that subset (rollback.test.ts:139-160)."""
+    cat, t = seed(spark, warehouse, n=10)
+    initial = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    m = mig(
+        spark, warehouse,
+        projection=["tokens", "n_tok", "source"],
+        update={"source": "P2", "tokens": F.array(F.lit(1)), "n_tok": F.lit(1)},
+        options=MigrationOptions(projection_backup_filter=["source"]),
+    )
+    m.update()
+    t.commit_marker({}, operation="foreign-touch")  # force changelog path
+    m.rollback()
+    got = {r["doc_id"]: r for r in rows_of(cat.load_table("seq").read(spark))}
+    for k, r in got.items():
+        assert r["source"] == initial[k]["source"]  # backed up -> restored
+        assert r["tokens"] == [1] and r["n_tok"] == 1  # NOT backed up -> kept
+
+
+def test_custom_rollback_callback(spark, warehouse):
+    """M6: config.rollback rewrites the restore source
+    (rollback.test.ts:932-972, 1082-1105)."""
+    cat, t = seed(spark, warehouse, n=6)
+    m = mig(
+        spark, warehouse, update={"source": "MIG"},
+        rollback=lambda src: src.withColumn("source", F.concat(F.col("source"), F.lit("-rb"))),
+    )
+    m.update()
+    t.commit_marker({}, operation="foreign-touch")  # force changelog path
+    m.rollback()
+    for r in rows_of(cat.load_table("seq").read(spark)):
+        assert r["source"].endswith("-rb") and r["source"] != "MIG-rb"
+
+
+def test_unset_spec_and_rollback(spark, warehouse):
+    """M2: {"$unset": [cols]} writes typed NULLs; rollback restores the
+    pre-image values (rollback.test.ts:378-475)."""
+    cat, t = seed(spark, warehouse, n=10)
+    initial = rows_of(t.read(spark))
+    m = mig(spark, warehouse, update={"$unset": ["source"], "n_tok": F.lit(0)})
+    res = m.update()
+    assert res["nModified"] == 10
+    got = rows_of(t.read(spark))
+    assert all(r["source"] is None and r["n_tok"] == 0 for r in got)
+    m.rollback()
+    assert rows_of(cat.load_table("seq").read(spark)) == initial
+
+
+def test_no_update_row_skip_in_callback(spark, warehouse):
+    """P4: rows flagged __no_update by the update callback are neither
+    written nor backed up (MBDM.ts:284-286)."""
+    cat, t = seed(spark, warehouse, n=10)
+    m = mig(
+        spark, warehouse,
+        update=lambda df: df.withColumn("source", F.lit("U")).withColumn(
+            "__no_update", F.col("n_tok") % 2 == 0
+        ),
+    )
+    res = m.update()
+    skipped = sum(1 for r in rows_of(t.read(spark)) if r["source"] != "U")
+    assert res["nModified"] + skipped == 10
+    assert res["nBackups"] == res["nModified"] < 10
