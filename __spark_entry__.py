@@ -594,6 +594,92 @@ FROM sh
 """
 
 
+def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pipeline: MinHash-LSH band-bucket candidate join
+    (NOT all-pairs) -> exact n-gram Jaccard verify on candidates only.
+    md5-hash variant so the whole pipeline is oracle-checked; the scale path
+    swaps hash_fn='xxhash64'."""
+    from mongo_bulk_data_migration_spark.operators.dedup_text import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_fn="md5")
+    return ngram_jaccard_pairs(d, candidates=cand, threshold=0.5)
+
+
+def _lsh_jaccard_oracle() -> str:
+    sig = ",\n         ".join(
+        f"list_min(list_transform(s, x -> md5(x || '{i}')))" for i in range(16)
+    )
+    buckets = ", ".join(
+        "md5(g[{}] || '|' || g[{}] || '|' || g[{}] || '|' || g[{}])".format(
+            b * 4 + 1, b * 4 + 2, b * 4 + 3, b * 4 + 4
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, 5)
+                        for i in generate_series(1, greatest(len(t) - 4, 1))]) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents)
+),
+sig AS (SELECT doc_id, [{sig}] AS g, s FROM sh),
+banded AS (
+  SELECT doc_id, u.band, [{buckets}][u.band + 1] AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.s, sb.s))
+             / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) AS jaccard
+FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b
+WHERE round(len(list_intersect(sa.s, sb.s))
+            / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) >= 0.5
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup via hyperplane-LSH buckets: candidates come
+    from seeded sign-bit buckets (n^2 / 2^planes per bucket), cosine verified
+    only within buckets."""
+    from mongo_bulk_data_migration_spark.operators.dedup_text import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_neardup_pairs(emb, dim=64, n_planes=6, threshold=0.3)
+
+
+def _embedding_neardup_oracle() -> str:
+    from mongo_bulk_data_migration_spark.operators.dedup_text import _hyperplanes
+
+    planes = _hyperplanes(64, 6, seed=42)
+    bkt = " + ".join(
+        "CASE WHEN list_dot_product(v, [{}]) >= 0 THEN {} ELSE 0 END".format(
+            ", ".join(repr(x) for x in p), 1 << i
+        )
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bkt}) AS bkt FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         round(list_dot_product(a.v, b2.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cos
+  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3
+"""
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 to the vec_id=0 query vector."""
     from mongo_bulk_data_migration_spark.operators.ann import brute_force_topk
@@ -753,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_bands": q_minhash_bands,
+        "lsh_jaccard": q_lsh_jaccard,
+        "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_stats": q_embedding_stats,
         "simhash": q_simhash,
@@ -782,6 +870,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "minhash_bands": _MINHASH_BANDS_ORACLE,
+        "lsh_jaccard": _lsh_jaccard_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
         "ann_bruteforce": _ANN_ORACLE,
         "embedding_stats": _EMBEDDING_STATS_ORACLE,
         "simhash": _simhash_oracle(),

@@ -65,6 +65,17 @@ def minhash_signature(sh: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def minhash_signature_md5(sh: Column, num_hashes: int = 16) -> Column:
+    """md5-seeded min-hash signature (array<string>) — slower than xxhash64
+    but reproducible in ANSI SQL, so the LSH pipeline is oracle-checkable."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(str(i))))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -72,23 +83,34 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band bucket."""
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band bucket.
+
+    ``hash_fn='xxhash64'`` is the scale path; ``'md5'`` computes the same
+    banding from md5 minima (ANSI-SQL-reproducible, used by the driver
+    oracle)."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes).alias("__sig")
-    )
+    sh = shingles(F.col(text_col), shingle_k)
+    if hash_fn == "md5":
+        sig_col = minhash_signature_md5(sh, num_hashes)
+        bucket_of = lambda b: F.md5(  # noqa: E731
+            F.concat_ws(
+                "|", *[F.col("__sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+            )
+        )
+    else:
+        sig_col = minhash_signature(sh, num_hashes)
+        bucket_of = lambda b: F.xxhash64(  # noqa: E731
+            *[F.col("__sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+        ).cast("string")
+    sig = df.select(F.col(id_col), sig_col.alias("__sig"))
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("__sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
