@@ -701,6 +701,42 @@ FROM e ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: hyperplane-bucket probe (query bucket + Hamming-1
+    neighbors) then in-probe cosine top-10 — scans a few buckets, never the
+    full table. Oracle recomputes the identical buckets in SQL."""
+    from mongo_bulk_data_migration_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    return lsh_topk(emb, qvec, k=10, dim=64, n_planes=6)
+
+
+def _ann_lsh_oracle() -> str:
+    from mongo_bulk_data_migration_spark.operators.dedup_text import _hyperplanes
+
+    planes = _hyperplanes(64, 6)  # lsh_topk's default seed
+    bkt = lambda v: " + ".join(  # noqa: E731
+        "CASE WHEN list_dot_product({}, [{}]) >= 0 THEN {} ELSE 0 END".format(
+            v, ", ".join(repr(x) for x in p), 1 << i
+        )
+        for i, p in enumerate(planes)
+    )
+    hamming_ok = ", ".join(str(x) for x in [0] + [1 << i for i in range(6)])
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv, ({bkt('v')}) AS qb FROM e WHERE vec_id = 0),
+b AS (SELECT vec_id, v, ({bkt('v')}) AS bkt FROM e)
+SELECT vec_id,
+       round(list_dot_product(v, (SELECT qv FROM q))
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6) AS score
+FROM b WHERE xor(bkt, (SELECT qb FROM q)) IN ({hamming_ok})
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector norms (zip_with/aggregate kernel sanity)."""
     from mongo_bulk_data_migration_spark.operators.dedup_text import l2_norm
@@ -842,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard": q_lsh_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
         "embedding_stats": q_embedding_stats,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
@@ -873,6 +910,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_jaccard": _lsh_jaccard_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "ann_bruteforce": _ANN_ORACLE,
+        "ann_lsh": _ann_lsh_oracle(),
         "embedding_stats": _EMBEDDING_STATS_ORACLE,
         "simhash": _simhash_oracle(),
         # multimodal_features: mapInPandas decode stub (rows-only check)

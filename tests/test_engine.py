@@ -375,3 +375,19 @@ def test_no_update_row_skip_in_callback(spark, warehouse):
     skipped = sum(1 for r in rows_of(t.read(spark)) if r["source"] != "U")
     assert res["nModified"] + skipped == 10
     assert res["nBackups"] == res["nModified"] < 10
+
+
+def test_shipped_rollback_assert_utility(spark, warehouse):
+    """The shipped testutils helper (the reference's
+    doRollbackAndAssertForInitialState analog) — self-test, as the reference
+    self-tests its own utility."""
+    from mongo_bulk_data_migration_spark.testutils import (
+        do_rollback_and_assert_initial_state,
+        rows_sorted,
+    )
+
+    cat, t = seed(spark, warehouse, n=15)
+    initial = rows_sorted(t.read(spark))
+    m = mig(spark, warehouse, update={"source": "UTIL"})
+    m.update()
+    do_rollback_and_assert_initial_state(m, spark, initial)
