@@ -61,7 +61,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession, functions as F
 
-from ..sources.laketable import BUCKET_COL, LakeTable, bucket_expr
+from ..sources.laketable import BUCKET_COL, DELETED_COL, LakeTable, bucket_expr
 
 OP_COL = "__op"
 _SKEY = "__s_key"
@@ -75,6 +75,7 @@ class MergePlan:
     strategy: str = "broadcast"  # physical strategy actually chosen
     staged_bytes: int = 0        # on-disk size of the staged prepared source
     observations: dict[str, Observation] = field(default_factory=dict)
+    delta: DataFrame | None = None     # merge-on-read layer: new rows + tombstones
     source: DataFrame | None = None    # staged prepared source (clean lineage)
     combined: DataFrame | None = None  # staged single-pass join output
     inserts_frame: DataFrame | None = None  # for n_inserted (cheap: staged parents)
@@ -381,6 +382,10 @@ def build_merge_plan(
         )
         preimage = pre_cols(combined.where(op.isNotNull())).unionByName(pre_unmatched)
         inserts_frame = inserts_src
+        delta_live = new_rows(combined.where(op.isin("put", "update"))).unionByName(
+            src_row(inserts_src)
+        )
+        delta_dels = combined.where(op == "delete").select(key)
     else:
         inserts_frame = combined.where(~F.col("__matched") & op.isin("put", "insert"))
         keep = (
@@ -389,6 +394,13 @@ def build_merge_plan(
             | (~F.col("__matched") & op.isin("put", "insert"))
         )
         result = new_rows(combined.where(keep))
+        delta_live = new_rows(
+            combined.where(
+                (F.col("__matched") & op.isin("put", "update"))
+                | (~F.col("__matched") & op.isin("put", "insert"))
+            )
+        )
+        delta_dels = combined.where(F.col("__matched") & (op == "delete")).select(key)
         preimage = pre_cols(combined.where(op.isNotNull())).select(
             key,
             OP_COL,
@@ -401,12 +413,25 @@ def build_merge_plan(
             *[F.col(f"__{c}") for c in carry_cols],
         )
 
+    # merge-on-read layer: changed/inserted rows live, matched deletes as
+    # key-only tombstones (consumed only when run_merge dispatches to MoR)
+    tomb = delta_dels.select(
+        F.col(key),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in table.schema.fields
+            if f.name != key
+        ],
+    ).withColumn(DELETED_COL, F.lit(True))
+    delta = delta_live.withColumn(DELETED_COL, F.lit(False)).unionByName(tomb)
+
     return MergePlan(
         result=result,
         preimage=preimage,
         touched=touched,
         strategy=strategy,
         staged_bytes=staged_bytes,
+        delta=delta,
         observations=observations,
         source=s,
         combined=combined_cached,
@@ -422,10 +447,30 @@ def run_merge(
     operation: str = "merge",
     applied: dict | None = None,
     properties: dict | None = None,
+    mode: str | None = None,
 ) -> int:
-    """Commit the merge atomically (single snapshot swap)."""
+    """Commit the merge atomically (single snapshot swap).
+
+    ``mode`` (or the table property ``merge_mode``) picks the commit shape:
+
+    - ``cow`` (default): overwrite the touched buckets with ``plan.result``
+      — read-optimal, write amplification O(touched bucket bytes);
+    - ``mor``: append ``plan.delta`` (new rows + tombstones) as one delta
+      layer — write amplification O(batch), read resolves layers last-wins
+      until ``compact()`` folds them. The right trade when batches touch
+      most buckets (uniformly keyed CDC at 10^10-event scale).
+    """
     if not plan.touched:
         return table.commit_marker(applied or {}, operation=operation, properties=properties)
+    mode = mode or table.snapshot().properties.get("merge_mode", "cow")
+    if mode == "mor":
+        return table.append_deltas(
+            plan.delta,
+            plan.touched,
+            operation=operation,
+            applied=applied,
+            properties=properties,
+        )
     return table.overwrite_buckets(
         plan.result,
         plan.touched,

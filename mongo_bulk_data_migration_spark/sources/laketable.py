@@ -48,6 +48,8 @@ from pyspark.sql import types as T
 META_DIR = "_meta"
 DATA_DIR = "data"
 BUCKET_COL = "__b"
+DELETED_COL = "__deleted"  # tombstone flag inside merge-on-read delta files
+DSEQ_COL = "__dseq"        # delta layer sequence (later layers win per key)
 
 
 def bucket_expr(key_col: str, num_buckets: int):
@@ -216,16 +218,63 @@ class LakeTable:
         The manifest schema is passed to the parquet reader explicitly so
         files written before a schema evolution surface added columns as
         NULL — no file rewrite on ALTER TABLE ADD COLUMN.
+
+        Merge-on-read resolution: when delta files exist for the selected
+        buckets, the scan resolves them at read time — the latest delta
+        layer wins per key (max_by over the layer sequence), tombstoned keys
+        drop, and base rows are anti-joined against the delta key set. Base
+        rows of buckets WITHOUT deltas stream through untouched.
         """
         snap = self.snapshot(version)
         files = snap.files
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
-        if not files:
+        base = [f for f in files if f.get("kind", "base") == "base"]
+        delta = [f for f in files if f.get("kind") == "delta"]
+        if not base and not delta:
             return spark.createDataFrame([], snap.schema)
-        paths = [os.path.join(self.root, f["path"]) for f in files]
-        return spark.read.schema(snap.schema).parquet(*paths)
+        cols = [f.name for f in snap.schema.fields]
+        if not delta:
+            paths = [os.path.join(self.root, f["path"]) for f in base]
+            return spark.read.schema(snap.schema).parquet(*paths)
+
+        key = snap.key_col
+        delta_schema = T.StructType(
+            list(snap.schema.fields)
+            + [T.StructField(DELETED_COL, T.BooleanType(), True),
+               T.StructField(DSEQ_COL, T.LongType(), True)]
+        )
+        d = spark.read.schema(delta_schema).parquet(
+            *[os.path.join(self.root, f["path"]) for f in delta]
+        )
+        # last delta layer wins per key (one hash agg, map-side combine)
+        winners = (
+            d.groupBy(key)
+            .agg(F.max_by(F.struct(*[c for c in cols if c != key], DELETED_COL), DSEQ_COL).alias("__w"))
+            .select(key, "__w.*")
+        )
+        live = winners.where(~F.col(DELETED_COL)).select(*cols)
+        delta_buckets = {f["bucket"] for f in delta}
+        plain = [f for f in base if f["bucket"] not in delta_buckets]
+        shadowed = [f for f in base if f["bucket"] in delta_buckets]
+        parts = []
+        if shadowed:
+            sb = spark.read.schema(snap.schema).parquet(
+                *[os.path.join(self.root, f["path"]) for f in shadowed]
+            )
+            parts.append(sb.join(winners.select(key), key, "left_anti"))
+        parts.append(live)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if plain:
+            out = out.unionByName(
+                spark.read.schema(snap.schema).parquet(
+                    *[os.path.join(self.root, f["path"]) for f in plain]
+                )
+            )
+        return out
 
     def applied_marker(self, migration_id: str) -> dict[str, Any] | None:
         return self.snapshot().applied.get(migration_id)
@@ -323,6 +372,57 @@ class LakeTable:
         self._write_snapshot(snap)
         return snap.version
 
+    def append_deltas(
+        self,
+        df: DataFrame,
+        buckets: Iterable[int],
+        operation: str = "merge-mor",
+        applied: dict[str, Any] | None = None,
+        properties: dict[str, Any] | None = None,
+        repartition: bool = True,
+    ) -> int:
+        """Merge-on-read commit: append ONE delta layer (changed/inserted
+        rows + ``__deleted`` tombstones) for the touched buckets; base files
+        are untouched, so write amplification is O(batch), not O(touched
+        bucket bytes). Readers resolve layers last-wins; ``compact()`` folds
+        them back into base files.
+        """
+        bset = set(buckets)
+        snap = self._next_snapshot(operation)
+        dseq = 1 + max(
+            (f.get("dseq", 0) for f in snap.files if f.get("kind") == "delta"), default=0
+        )
+        if DELETED_COL not in df.columns:
+            df = df.withColumn(DELETED_COL, F.lit(False))
+        df = df.withColumn(DSEQ_COL, F.lit(dseq).cast("long"))
+        delta_schema = T.StructType(
+            list(snap.schema.fields)
+            + [T.StructField(DELETED_COL, T.BooleanType(), True),
+               T.StructField(DSEQ_COL, T.LongType(), True)]
+        )
+        entries = self._write_data_files(df, snap.version, delta_schema, repartition)
+        stray = [e for e in entries if e["bucket"] not in bset]
+        if stray:
+            raise ValueError(f"delta write produced rows outside touched buckets: {stray[:3]}")
+        for e in entries:
+            e["kind"] = "delta"
+            e["dseq"] = dseq
+        snap.files.extend(entries)
+        if applied:
+            snap.applied.update(applied)
+        if properties:
+            snap.properties.update(properties)
+        self._write_snapshot(snap)
+        return snap.version
+
+    def delta_layers(self, bucket: int | None = None) -> int:
+        """Number of distinct delta layers (optionally for one bucket)."""
+        snap = self.snapshot()
+        return len({
+            f["dseq"] for f in snap.files
+            if f.get("kind") == "delta" and (bucket is None or f["bucket"] == bucket)
+        })
+
     def commit_marker(
         self, applied: dict[str, Any], operation: str = "marker", properties: dict[str, Any] | None = None
     ) -> int:
@@ -367,12 +467,19 @@ class LakeTable:
         """
         snap = self.snapshot()
         counts: dict[int, int] = {}
+        delta_buckets: set[int] = set()
         for f in snap.files:
             counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-        fat = sorted(b for b, n in counts.items() if n > max_files_per_bucket)
+            if f.get("kind") == "delta":
+                delta_buckets.add(f["bucket"])
+        # buckets with merge-on-read deltas always fold (read amplification
+        # is bounded by compaction cadence, not by table age)
+        fat = sorted(
+            set(b for b, n in counts.items() if n > max_files_per_bucket) | delta_buckets
+        )
         if not fat:
             return 0
-        rows = self.read(spark, buckets=fat)
+        rows = self.read(spark, buckets=fat)  # delta-resolved
         self.overwrite_buckets(rows, fat, operation="compact")
         return len(fat)
 

@@ -151,3 +151,68 @@ def test_merge_auto_strategy_by_staged_size(spark, warehouse):
     after = {r["doc_id"]: r for r in rows_of(t.read(spark))}
     assert after["doc00000001"]["tokens"] == [9, 9]
     assert after["doc99999001"]["tokens"] == [1]
+
+
+def test_merge_on_read_op_matrix(spark, warehouse):
+    """MoR mode: same op-matrix semantics as copy-on-write, but the commit
+    appends one delta layer (no base rewrite); reads resolve last-wins;
+    compact() folds layers back into base files."""
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "seq", SEQUENCES_SCHEMA, num_buckets=4, properties={"merge_mode": "mor"}
+    )
+    t.append(sequences_spark(spark, 40))
+    base_files = [f for f in t.snapshot().files if f.get("kind", "base") == "base"]
+
+    rows = [
+        ("doc00000001", "put", [9, 9], 2, "put-matched"),
+        ("doc99999001", "put", [1], 1, "put-new"),
+        ("doc00000002", "update", [7], 1, None),
+        ("doc99999002", "update", [7], 1, None),          # unmatched no-op
+        ("doc00000003", "insert", [5], 1, "ins-matched"),  # keep old row
+        ("doc99999003", "insert", [5], 1, "ins-new"),
+        ("doc00000004", "delete", None, None, None),
+        ("doc99999004", "delete", None, None, None),       # unmatched no-op
+    ]
+    plan = build_merge_plan(t, spark, src_df(spark, rows), update_cols=["tokens", "n_tok"])
+    run_merge(t, plan)
+    plan.release()
+
+    snap = t.snapshot()
+    assert [f for f in snap.files if f.get("kind", "base") == "base"] == base_files
+    assert t.delta_layers() == 1
+
+    after = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    assert after["doc00000001"]["tokens"] == [9, 9]
+    assert after["doc99999001"]["tokens"] == [1]
+    assert after["doc00000002"]["tokens"] == [7] and after["doc00000002"]["n_tok"] == 1
+    assert "doc99999002" not in after
+    assert after["doc00000003"]["tokens"] != [5]  # insert-if-absent kept old
+    assert after["doc99999003"]["tokens"] == [5]
+    assert "doc00000004" not in after
+    assert "doc99999004" not in after
+
+    # second layer over the first: later layer wins per key
+    rows2 = [
+        ("doc00000001", "update", [4], 1, None),
+        ("doc99999003", "delete", None, None, None),
+    ]
+    plan2 = build_merge_plan(t, spark, src_df(spark, rows2), update_cols=["tokens", "n_tok"])
+    run_merge(t, plan2)
+    plan2.release()
+    assert t.delta_layers() == 2
+    after2 = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    assert after2["doc00000001"]["tokens"] == [4]
+    assert "doc99999003" not in after2
+
+    # time travel still sees the layer-1 state
+    v1 = t.snapshot().parent
+    at_v1 = {r["doc_id"]: r for r in rows_of(t.read(spark, version=v1))}
+    assert at_v1["doc00000001"]["tokens"] == [9, 9] and "doc99999003" in at_v1
+
+    # compaction folds deltas into base; contents identical
+    before = sorted((r["doc_id"], tuple(r["tokens"] or [])) for r in rows_of(t.read(spark)))
+    assert t.compact(spark) > 0
+    assert t.delta_layers() == 0
+    after_c = sorted((r["doc_id"], tuple(r["tokens"] or [])) for r in rows_of(t.read(spark)))
+    assert after_c == before

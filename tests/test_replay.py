@@ -271,3 +271,30 @@ def test_changelog_append_replay_is_idempotent_per_key(spark, warehouse):
     assert n2 == 1  # only the new key backed up; old ones first-write-wins
     log = rows_of(cl.table().read(spark))
     assert len([r for r in log if r["kind"] == "backup"]) == 3
+
+
+def test_replay_merge_on_read_end_to_end(spark, warehouse):
+    """Full CDC replay + rollback on a merge_mode='mor' table matches the
+    oracle exactly — no base rewrite per batch, read-time resolution."""
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "seq", SEQUENCES_SCHEMA, num_buckets=8, properties={"merge_mode": "mor"}
+    )
+    rows = make_sequences(N_DOCS)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+    events = make_changes(N_DOCS, N_EVENTS, n_parts=8, n_batches=4, seed=42)
+    sim = OracleSimulator(rows)
+    base_files = [f for f in t.snapshot().files if f.get("kind", "base") == "base"]
+
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "mor1")
+    rep.apply_changes(changes_spark(spark, events), events_per_batch=PER_BATCH)
+    sim_apply_all(sim, events)
+    compare(spark, t, sim)
+    # base untouched; one delta layer per batch
+    assert [f for f in t.snapshot().files if f.get("kind", "base") == "base"] == base_files
+    assert t.delta_layers() == 4
+
+    t.commit_marker({}, operation="foreign-touch")  # force changelog rollback
+    rep.rollback()
+    sim.rollback()
+    compare(spark, cat.load_table("seq"), sim)
