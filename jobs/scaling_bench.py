@@ -118,12 +118,15 @@ def main() -> None:
     ap.add_argument("--xn-cores", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--strategy", choices=["auto", "broadcast", "shuffle"], default="auto")
+    ap.add_argument("--report-only", action="store_true",
+                    help="rebuild BENCH/BASELINE.md from logged pairs of the "
+                         "current commit + workload (crash/timeout recovery)")
     args = ap.parse_args()
     n_events = args.docs * args.events_per_doc
     commit = _git_commit()
 
     probe_note = ""
-    if not args.n_cores:
+    if not args.n_cores and not args.report_only:
         # The sandbox host's deliverable CPU swings several-fold over minutes
         # and is often capped well below 32 hardware threads; comparing
         # local[8] vs local[32] in such a window measures the HOST cap, not
@@ -146,7 +149,7 @@ def main() -> None:
         )
         print(json.dumps({"probe_note": probe_note}), flush=True)
     args.xn_cores = args.xn_cores or 4 * args.n_cores
-    factor = args.xn_cores / args.n_cores
+    factor = (args.xn_cores / args.n_cores) if args.n_cores else 4.0
 
     # Paired protocol: each repeat runs N then 4N back-to-back in fresh JVMs,
     # so both legs of a pair see (approximately) the same host window; the
@@ -156,8 +159,40 @@ def main() -> None:
     log_path = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
     os.makedirs(os.path.dirname(log_path), exist_ok=True)
 
-    pairs = []
-    for i in range(args.repeats):
+    if args.report_only:
+        hist = [json.loads(line) for line in open(log_path)]
+        workload = [r for r in hist
+                    if r["n_docs"] == args.docs and r["n_events"] == n_events
+                    and "pair" in r and r.get("commit")]
+        if not any(r["commit"] == commit for r in workload) and workload:
+            # HEAD moved past the measured commit: recover the latest
+            # measured one (stated in the report) rather than failing
+            commit = workload[-1]["commit"]
+        rows = [r for r in workload if r["commit"] == commit]
+        if args.n_cores:
+            rows = [r for r in rows if r["cores"] in (args.n_cores, args.xn_cores)]
+        else:
+            args.n_cores = min(r["cores"] for r in rows)
+            args.xn_cores = 4 * args.n_cores
+            factor = 4.0
+        by_pair: dict[int, dict] = {}
+        for r in rows:
+            side = "n" if r["cores"] == args.n_cores else "4n"
+            by_pair.setdefault(r["pair"], {})[side] = r
+        pairs = []
+        for i in sorted(by_pair):
+            p = by_pair[i]
+            if "n" in p and "4n" in p:
+                eff = (p["4n"]["events_per_sec"] / p["n"]["events_per_sec"]) / factor
+                pairs.append({"n": p["n"], "4n": p["4n"], "eff": round(eff, 3),
+                              "probes": p["n"].get("host_probe_mops", [0])})
+        if not pairs:
+            raise SystemExit("no complete pairs logged for this commit/workload")
+        probe_note = f"(report rebuilt from {len(pairs)} logged pairs, commit {commit})"
+        args.repeats = len(pairs)
+    else:
+        pairs = []
+    for i in range(0 if args.report_only else args.repeats):
         probe0 = host_probe()
         r_n = run(args.n_cores, args.docs, n_events, args.batches, args.buckets, args.strategy)
         probe1 = host_probe()
