@@ -737,6 +737,59 @@ ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: nearest-centroid inverted lists (centroids = first 8
+    vectors, deterministic), probe the query's 2 nearest lists, exact cosine
+    top-10 inside the probed lists only."""
+    from mongo_bulk_data_migration_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    return ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=2)
+
+
+_ANN_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 8),
+a AS (SELECT vec_id, v,
+             list_transform((SELECT cs FROM c),
+                            x -> list_dot_product(v, v) + list_dot_product(x, x)
+                                 - 2 * list_dot_product(v, x)) AS d
+      FROM e),
+l AS (SELECT vec_id, v, list_position(d, list_min(d)) AS lst FROM a),
+q AS (SELECT v AS qv, d AS dq FROM a WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, (SELECT qv FROM q))
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6) AS score
+FROM l
+WHERE lst IN ((SELECT list_position(dq, list_sort(dq)[1]) FROM q),
+              (SELECT list_position(dq, list_sort(dq)[2]) FROM q))
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer match count (closer LLM-token proxy than
+    whitespace words; pure JVM regexp_extract_all)."""
+    from mongo_bulk_data_migration_spark.functions.text import token_count_bpe
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def _token_count_bpe_oracle() -> str:
+    from mongo_bulk_data_migration_spark.functions.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id, len(regexp_extract_all(text, '{pat}'))::INT AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector norms (zip_with/aggregate kernel sanity)."""
     from mongo_bulk_data_migration_spark.operators.dedup_text import l2_norm
@@ -879,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "token_count_bpe": q_token_count_bpe,
         "embedding_stats": q_embedding_stats,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
@@ -911,6 +966,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_oracle(),
         "ann_bruteforce": _ANN_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ANN_IVF_ORACLE,
+        "token_count_bpe": _token_count_bpe_oracle(),
         "embedding_stats": _EMBEDDING_STATS_ORACLE,
         "simhash": _simhash_oracle(),
         # multimodal_features: mapInPandas decode stub (rows-only check)

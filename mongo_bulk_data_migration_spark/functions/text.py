@@ -34,6 +34,21 @@ def token_count(text: Column) -> Column:
     ).cast("int")
 
 
+# GPT-2-style pre-tokenizer grammar, restricted to constructs RE2 and Java
+# regex evaluate identically (ordered alternation, no lookahead): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs, and
+# whitespace runs each count as one token.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer regex.
+
+    Pure JVM (regexp_extract_all) — a closer LLM-token proxy than whitespace
+    splitting (punctuation and contractions count separately)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast("int")
+
+
 def char_count(text: Column) -> Column:
     return F.length(text).cast("int")
 

@@ -35,6 +35,60 @@ def brute_force_topk(
     )
 
 
+def _sqdist(a, b) -> "F.Column":
+    from .dedup_text import dot
+
+    return dot(a, a) + dot(b, b) - 2 * dot(a, b)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize every vector to its nearest reference
+    centroid (the inverted lists), then scan only the query's ``nprobe``
+    nearest lists for the exact cosine top-k.
+
+    Centroids are the vectors of the first ``n_centroids`` ids —
+    deterministic and oracle-checkable; a k-means refinement would only
+    change the centroid values, not this assignment/probe plan. At scale the
+    table is stored partitioned by list id, so a probe is a partition-pruned
+    scan of nprobe/n_centroids of the data.
+    """
+    cents = {
+        int(r[id_col]): [float(x) for x in r[vec_col]]
+        for r in df.where(F.col(id_col) < n_centroids).collect()
+    }
+    cent_lits = [
+        F.array(*[F.lit(x) for x in cents[i]]) for i in sorted(cents)
+    ]
+    dists = F.array(*[_sqdist(F.col(vec_col), c) for c in cent_lits])
+    assigned = df.withColumn(
+        "__list", F.array_position(dists, F.array_min(dists)).cast("int")
+    )
+    # query's nprobe nearest lists (tiny, driver-side, same arithmetic)
+    def pydot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    qd = {
+        i: pydot(query_vec, query_vec) + pydot(v, v) - 2 * pydot(query_vec, v)
+        for i, v in cents.items()
+    }
+    probes = [i + 1 for i, _ in sorted(qd.items(), key=lambda kv: kv[1])[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.where(F.col("__list").isin(probes))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
