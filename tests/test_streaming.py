@@ -68,3 +68,36 @@ def test_compaction_bounds_file_count(spark, warehouse):
     assert compacted == 2
     assert len(t.snapshot().files) < n_files_before
     assert rows_of(t.read(spark)) == before
+
+
+def test_stateful_dedup_by_seq_across_epochs(spark, tmp_path):
+    """applyInPandasWithState keyed HWM dedup: duplicates replayed in a LATER
+    micro-batch (which per-epoch last-wins cannot see) are dropped; state
+    persists across epochs via the checkpoint."""
+    from mongo_bulk_data_migration_spark.streaming.stateful import dedup_by_seq
+
+    stream_dir = str(tmp_path / "ev")
+    os.makedirs(stream_dir)
+    batch1 = [(0, 0, "update", "a"), (1, 0, "update", "b"), (2, 1, "update", "a")]
+    # batch 2 replays seqs 0-2 (late duplicates) and adds fresh 3-4
+    batch2 = batch1 + [(3, 1, "update", "b"), (4, 0, "update", "a")]
+    schema = "seq long, part int, op string, doc_id string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_dir)
+    )
+    q = (
+        dedup_by_seq(stream, key="doc_id", seq="seq")
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted((r["doc_id"], r["seq"]) for r in spark.sql("SELECT * FROM deduped").collect())
+    # each (key, seq) exactly once despite the full replay in batch 2
+    assert got == [("a", 0), ("a", 2), ("a", 4), ("b", 1), ("b", 3)]
