@@ -128,6 +128,44 @@ def _tokens_digest(col: str):
     return F.md5(F.concat_ws(",", F.col(col).cast("array<string>"))).alias("tokens_md5")
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online schema evolution mid-replay, driver-verified: the event batch
+    drifts from the table's creation schema in two ways — it carries a new
+    scalar payload column ``extra`` (-> online ADD COLUMN, old rows read
+    NULL) and its ``tokens`` arrive as array<long> instead of array<int>
+    (-> online WIDEN COLUMN, metadata-only, old files upcast on read).
+    The post-merge table, including the evolved column, must match the pure
+    ANSI-SQL oracle. Mirrors the north rule's "schema evolution (added
+    columns, widened types) applied online" requirement end-to-end."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    events = events.withColumn("tokens", F.col("tokens").cast("array<long>")).withColumn(
+        "extra",
+        F.when(
+            (F.pmod(F.col("seq"), F.lit(3)) == 0) & (F.col("op") != "delete"),
+            F.format_string("x%d", F.pmod(F.col("seq"), F.lit(23)).cast("int")),
+        ),
+    )
+    wh = tempfile.mkdtemp(prefix="mbdm_evo_")
+    cat = Catalog(wh)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=16)
+    t.append(seqs)
+    rep = ChangeStreamReplayer(spark, wh, "sequences", "evo", evolve_schema=True)
+    rep.apply_changes(events, events_per_batch=max(n_events, 1))
+    import pyspark.sql.types as T
+
+    fld = {f.name: f.dataType for f in cat.load_table("sequences").schema.fields}
+    assert fld["tokens"] == T.ArrayType(T.LongType()), "tokens not widened"
+    assert fld.get("extra") == T.StringType(), "extra not added"
+    return t.read(spark).select(
+        "doc_id", _tokens_digest("tokens"), "n_tok", "source", "extra"
+    )
+
+
 _CDC_ORACLE = """
 WITH p AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
 seqs AS (
@@ -190,6 +228,28 @@ FROM merged
 WHERE NOT coalesce(op = 'delete' AND s_doc IS NOT NULL, false)          -- matched deletes drop
   AND NOT coalesce(op IN ('update','delete') AND s_doc IS NULL, false)  -- unmatched upd/del no-op
 """
+
+# schema-evolution oracle: same merge algebra as _CDC_ORACLE plus the drifted
+# `extra` payload column (NULL for rows the batch did not touch — exactly the
+# online ADD COLUMN read semantics; tokens widening does not change the digest)
+_EVO_ORACLE = _CDC_ORACLE.replace(
+    "  FROM ev\n),",
+    """       ,CASE WHEN seq % 3 = 0 AND NOT (CASE WHEN idx >= (SELECT n_docs FROM p) THEN 'insert'
+                                                  WHEN seq % 10 < 8 THEN 'update' ELSE 'delete' END) = 'delete'
+             THEN printf('x%d', seq % 23) END AS extra
+  FROM ev
+),""",
+).replace(
+    "    c.op AS op, s.doc_id AS s_doc",
+    """    CASE WHEN c.op = 'insert' THEN c.extra
+         WHEN c.op = 'update' AND s.doc_id IS NOT NULL THEN c.extra
+    END AS extra,
+    c.op AS op, s.doc_id AS s_doc""",
+).replace(
+    "       CASE WHEN op = 'insert' AND s_doc IS NULL THEN NULL ELSE s_source END AS source",
+    """       CASE WHEN op = 'insert' AND s_doc IS NULL THEN NULL ELSE s_source END AS source,
+       extra""",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -909,6 +969,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_merge": q_cdc_merge,
+        "schema_evolution": q_schema_evolution,
         "rollback_roundtrip": q_rollback_roundtrip,
         "tpch_q1": q_tpch_q1,
         "filter_project": q_filter_project,
@@ -943,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_merge": _CDC_ORACLE,
+        "schema_evolution": _EVO_ORACLE,
         "rollback_roundtrip": _ROLLBACK_ORACLE,
         "tpch_q1": _TPCH_Q1_ORACLE,
         "filter_project": _FILTER_PROJECT_ORACLE,

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from ..sources.catalog import Catalog
-from ..sources.laketable import LakeTable
+from ..sources.laketable import LakeTable, is_widening
 
 KIND_BACKUP = "backup"
 KIND_TOMBSTONE = "tombstone"
@@ -68,7 +68,18 @@ class Changelog:
 
     def ensure(self) -> LakeTable:
         if self.catalog.exists(self.table_name):
-            return self.catalog.load_table(self.table_name)
+            tbl = self.catalog.load_table(self.table_name)
+            # reconcile online type widening: if the TARGET widened a column
+            # (int->long etc.) after this changelog was created, pre-images
+            # now carry the wider type — widen the backup struct field too
+            # (metadata-only), otherwise the wide parquet pages written below
+            # could not be read back through the narrow recorded schema.
+            backup = {f.name: f.dataType for f in tbl.schema["backup"].dataType.fields}
+            for f in self.target.schema.fields:
+                old = backup.get(f.name)
+                if old is not None and is_widening(old, f.dataType):
+                    tbl.widen_column(f"backup.{f.name}", f.dataType)
+            return tbl
         return self.catalog.create_table(
             self.table_name,
             changelog_schema(self.target.schema, self.target.key_col),

@@ -57,6 +57,22 @@ def bucket_expr(key_col: str, num_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
 
+# lossless widenings the Spark 4 parquet reader performs on read when handed
+# a wider requested schema than the file footer (probed in this environment:
+# int32 file -> long schema, float -> double, and array-element versions).
+_WIDEN_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def is_widening(old: T.DataType, new: T.DataType) -> bool:
+    """True iff every value of ``old`` reads back losslessly as ``new``."""
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return is_widening(old.elementType, new.elementType)
+    o, n = old.typeName(), new.typeName()
+    if o in _WIDEN_ORDER and n in _WIDEN_ORDER:
+        return _WIDEN_ORDER[o] < _WIDEN_ORDER[n]
+    return (o, n) == ("float", "double")
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -450,6 +466,55 @@ class LakeTable:
         snap.schema = T.StructType(fields)
         self._write_snapshot(snap)
         return snap.version
+
+    def widen_column(self, name: str, new_type: T.DataType) -> int:
+        """Online type widening (int->long, float->double, array elements).
+
+        Metadata-only, no file rewrite: the manifest schema is what readers
+        pass to the parquet scan, and Spark 4's vectorized reader upcasts
+        narrower on-disk values into the wider requested type (probed for
+        top-level, array-element, and struct-nested columns).  Narrowing is
+        rejected — old files could not be read back losslessly.  ``name``
+        may be a dotted path (``backup.tokens``) addressing a struct field.
+        """
+        head, _, rest = name.partition(".")
+        snap = self._next_snapshot("widen-column")
+        fields = list(snap.schema.fields)
+        for i, f in enumerate(fields):
+            if f.name != head:
+                continue
+            if rest:
+                if not isinstance(f.dataType, T.StructType):
+                    raise KeyError(f"{head} is not a struct (path {name})")
+                inner = list(f.dataType.fields)
+                for j, g in enumerate(inner):
+                    if g.name != rest:
+                        continue
+                    if g.dataType == new_type:
+                        return snap.version - 1
+                    if not is_widening(g.dataType, new_type):
+                        raise ValueError(
+                            f"widen_column({name}): {g.dataType.simpleString()} -> "
+                            f"{new_type.simpleString()} is not a lossless widening"
+                        )
+                    inner[j] = T.StructField(rest, new_type, True)
+                    fields[i] = T.StructField(head, T.StructType(inner), f.nullable)
+                    snap.schema = T.StructType(fields)
+                    self._write_snapshot(snap)
+                    return snap.version
+                raise KeyError(f"no such struct field: {name}")
+            if f.dataType == new_type:
+                return snap.version - 1  # no-op, don't burn a snapshot
+            if not is_widening(f.dataType, new_type):
+                raise ValueError(
+                    f"widen_column({name}): {f.dataType.simpleString()} -> "
+                    f"{new_type.simpleString()} is not a lossless widening"
+                )
+            fields[i] = T.StructField(name, new_type, True)
+            snap.schema = T.StructType(fields)
+            self._write_snapshot(snap)
+            return snap.version
+        raise KeyError(f"no such column: {name}")
 
     def rollback_to_snapshot(self, version: int) -> None:
         """Time-travel pointer move — atomic whole-table rollback."""

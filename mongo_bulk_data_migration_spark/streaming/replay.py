@@ -47,7 +47,7 @@ from ..plans.hwm import HwmStore
 from ..plans.metrics import MetricsSink
 from ..plans.migration import DataMigrationConfig, MigrationOptions
 from ..sources.catalog import Catalog
-from ..sources.laketable import LakeTable
+from ..sources.laketable import LakeTable, is_widening
 
 log = logging.getLogger("mbdm-spark")
 
@@ -326,13 +326,25 @@ class ChangeStreamReplayer:
         return batch.where(valid), n_bad
 
     def _maybe_evolve(self, target: LakeTable, batch: DataFrame) -> None:
-        """Online ALTER TABLE ADD COLUMN driven by event payload drift."""
+        """Online schema evolution driven by event payload drift: ADD COLUMN
+        for new scalar payload fields, WIDEN COLUMN (int->long etc.) when the
+        incoming batch carries a strictly wider type than the table. Both are
+        metadata-only manifest commits — no file rewrite."""
         known = {f.name for f in target.schema.fields}
         candidates = [c for c in SCALAR_SET_COLS if c in batch.columns and c not in known]
         for c in candidates:
             if batch.where(F.col(c).isNotNull()).take(1):
                 log.info("schema evolution: adding column %s to %s", c, target.root)
                 target.add_columns([T.StructField(c, batch.schema[c].dataType, True)])
+        for f in target.schema.fields:
+            if f.name in batch.columns and is_widening(
+                f.dataType, batch.schema[f.name].dataType
+            ):
+                log.info(
+                    "schema evolution: widening %s %s -> %s", f.name,
+                    f.dataType.simpleString(), batch.schema[f.name].dataType.simpleString(),
+                )
+                target.widen_column(f.name, batch.schema[f.name].dataType)
 
     def _build_source(self, target: LakeTable, batch: DataFrame) -> DataFrame:
         """Collapse last-wins and map CDC ops to merge ops.

@@ -122,3 +122,36 @@ def test_expire_snapshots_gc(spark, warehouse):
     removed = t.expire_snapshots(keep_last=1)
     assert removed > 0
     assert rows_of(t.read(spark)) == before
+
+
+def test_widen_column_online(spark, warehouse):
+    """Type widening (int->long, array<int>->array<long>) is metadata-only:
+    old files read back upcast, no rewrite, narrowing rejected."""
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(sequences_spark(spark, 50))
+    v_data = t.current_version()
+    t.widen_column("n_tok", T.LongType())
+    t.widen_column("tokens", T.ArrayType(T.LongType()))
+    fld = {f.name: f.dataType for f in t.schema.fields}
+    assert fld["n_tok"] == T.LongType()
+    assert fld["tokens"] == T.ArrayType(T.LongType())
+    # no data files rewritten: same file list as the pre-DDL snapshot
+    assert t.snapshot().files == t.snapshot(v_data).files
+    got = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    for r in make_sequences(50):
+        assert got[r["doc_id"]]["tokens"] == r["tokens"]
+        assert got[r["doc_id"]]["n_tok"] == r["n_tok"]
+    # values beyond int range are now appendable
+    t.append(
+        spark.createDataFrame(
+            [{"doc_id": "docWIDE", "tokens": [2**40], "n_tok": 1, "source": "web"}],
+            t.schema,
+        )
+    )
+    wide = rows_of(t.read(spark).where("doc_id = 'docWIDE'"))
+    assert wide[0]["tokens"] == [2**40]
+    with pytest.raises(ValueError):
+        t.widen_column("n_tok", T.IntegerType())  # narrowing
+    with pytest.raises(KeyError):
+        t.widen_column("nope", T.LongType())

@@ -298,3 +298,33 @@ def test_replay_merge_on_read_end_to_end(spark, warehouse):
     rep.rollback()
     sim.rollback()
     compare(spark, cat.load_table("seq"), sim)
+
+
+def test_type_widening_replay(spark, warehouse):
+    """Online WIDEN COLUMN driven by batch type drift: a later event batch
+    arrives with tokens as array<long> (upstream producer upgraded); the
+    table widens in place (metadata-only), earlier files upcast on read,
+    and final state still matches the oracle simulator exactly."""
+    import pyspark.sql.types as T
+
+    cat, t, events, sim = setup_run(spark, warehouse)
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "cdc_widen")
+    half = (max(e["seq"] for e in events) + 1) // 2
+    first = [e for e in events if e["seq"] < half]
+    rest = [e for e in events if e["seq"] >= half]
+    rep.apply_changes(changes_spark(spark, first), events_per_batch=PER_BATCH)
+    wide = changes_spark(spark, rest).withColumn(
+        "tokens", F.col("tokens").cast("array<long>")
+    )
+    rep.apply_changes(wide, events_per_batch=PER_BATCH)
+    sim_apply_all(sim, events)
+    fld = {f.name: f.dataType for f in cat.load_table("seq").schema.fields}
+    assert fld["tokens"] == T.ArrayType(T.LongType())
+    compare(spark, t, sim)
+    # rollback across the widening boundary restores the initial table
+    rep.rollback()
+    got = rows_of(cat.load_table("seq").read(spark))
+    init = {r["doc_id"]: r for r in make_sequences(N_DOCS)}
+    assert {r["doc_id"] for r in got} == set(init)
+    for r in got:
+        assert r["tokens"] == init[r["doc_id"]]["tokens"]
