@@ -229,6 +229,48 @@ WHERE NOT coalesce(op = 'delete' AND s_doc IS NOT NULL, false)          -- match
   AND NOT coalesce(op IN ('update','delete') AND s_doc IS NULL, false)  -- unmatched upd/del no-op
 """
 
+def q_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tailing mode (SURVEY.md §2.10) driver-verified:
+    the same derived event log lands as 4 key-partitioned parquet files in a
+    stream-source dir; StreamingIngest tails it (maxFilesPerTrigger=1 -> 4
+    micro-batch epochs) through foreachBatch into the full engine protocol
+    (collapse -> changelog -> MERGE -> HWM). Epochs partition the KEY space,
+    so the final table equals the single-collapse oracle (_CDC_ORACLE). A
+    second availableNow run over the same checkpoint must be a no-op —
+    exactly-once across stream restarts, asserted on the snapshot version."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.structured import StreamingIngest
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="mbdm_stream_")
+    src_dir = os.path.join(wh, "_incoming")
+    events.repartition(4, "doc_id").write.parquet(src_dir)
+    cat = Catalog(wh)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=16)
+    t.append(seqs)
+
+    def _tail():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        ing = StreamingIngest(
+            spark, wh, "sequences", "stream",
+            checkpoint_dir=os.path.join(wh, "_ckpt"), evolve_schema=False,
+        )
+        q = ing.start(stream)
+        q.awaitTermination(600)
+
+    _tail()
+    v1 = cat.load_table("sequences").current_version()
+    _tail()  # restart from checkpoint: no new files -> zero new commits
+    assert cat.load_table("sequences").current_version() == v1, "restart not exactly-once"
+    return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
+
+
 # schema-evolution oracle: same merge algebra as _CDC_ORACLE plus the drifted
 # `extra` payload column (NULL for rows the batch did not touch — exactly the
 # online ADD COLUMN read semantics; tokens widening does not change the digest)
@@ -970,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_merge": q_cdc_merge,
         "schema_evolution": q_schema_evolution,
+        "cdc_stream": q_cdc_stream,
         "rollback_roundtrip": q_rollback_roundtrip,
         "tpch_q1": q_tpch_q1,
         "filter_project": q_filter_project,
@@ -1005,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_merge": _CDC_ORACLE,
         "schema_evolution": _EVO_ORACLE,
+        "cdc_stream": _CDC_ORACLE,
         "rollback_roundtrip": _ROLLBACK_ORACLE,
         "tpch_q1": _TPCH_Q1_ORACLE,
         "filter_project": _FILTER_PROJECT_ORACLE,
