@@ -711,6 +711,46 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, candidates=cand, threshold=0.5)
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline to CLUSTER ids: LSH band-bucket candidates ->
+    exact Jaccard verify -> connected components (distributed min-label
+    propagation; see operators/cluster.py). cluster_id = min doc_id of the
+    component — the canonical-copy key a dedup job joins back on."""
+    from mongo_bulk_data_migration_spark.operators.cluster import connected_components
+    from mongo_bulk_data_migration_spark.operators.dedup_text import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_fn="md5")
+    pairs = ngram_jaccard_pairs(d, candidates=cand, threshold=0.5)
+    return connected_components(pairs)
+
+
+def _neardup_clusters_oracle() -> str:
+    """Reachability closure via WITH RECURSIVE over the same verified pairs."""
+    body = _lsh_jaccard_oracle()
+    head, final = body.split("SELECT id_a, id_b,", 1)
+    return (
+        "WITH RECURSIVE "
+        + head.strip().removeprefix("WITH ")
+        + ",\npairs AS (\nSELECT id_a, id_b,"
+        + final
+        + """
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u
+"""
+    )
+
+
 def _lsh_jaccard_oracle() -> str:
     sig = ",\n         ".join(
         f"list_min(list_transform(s, x -> md5(x || '{i}')))" for i in range(16)
@@ -1033,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_bands": q_minhash_bands,
         "lsh_jaccard": q_lsh_jaccard,
+        "neardup_clusters": q_neardup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -1069,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "minhash_bands": _MINHASH_BANDS_ORACLE,
         "lsh_jaccard": _lsh_jaccard_oracle(),
+        "neardup_clusters": _neardup_clusters_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "ann_bruteforce": _ANN_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),

@@ -236,3 +236,22 @@ def test_embedding_neardup_and_ann(spark):
     assert set(ids) == {1, 2}
     lsh = lsh_topk(df, q, k=2, dim=16)
     assert {r["vec_id"] for r in lsh.collect()} >= {1}
+
+
+def test_connected_components_label_propagation(spark):
+    """Chain (multi-round convergence), pair, and triangle components all
+    resolve to min-id cluster labels; unpaired nodes never appear."""
+    from mongo_bulk_data_migration_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+         ("x", "y"),
+         ("m", "n"), ("n", "o"), ("m", "o")],
+        ["id_a", "id_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+        "x": "x", "y": "x",
+        "m": "m", "n": "m", "o": "m",
+    }
