@@ -711,6 +711,59 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, candidates=cand, threshold=0.5)
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing via distributed prefix sum (see
+    operators/packing.py): per-source concatenated token stream cut every
+    2048 tokens — NO whole-group window, shard-local cumsums + a tiny
+    shard-prefix broadcast."""
+    from mongo_bulk_data_migration_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"),
+    )
+    return pack_sequences(d, "n_tok", ctx=2048).select(
+        "doc_id", "source", "n_tok", "pack_id", "pack_offset"
+    )
+
+
+_SEQ_PACKING_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n_tok FROM documents
+),
+c AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+  FROM d
+)
+SELECT doc_id, source, n_tok::INT AS n_tok,
+       (start // 2048)::BIGINT AS pack_id, (start % 2048)::INT AS pack_offset
+FROM c
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 by frequency: explode -> hash-agg (map-side
+    partial combine absorbs the Zipf word skew) -> TakeOrdered top-k, with a
+    deterministic (n desc, word asc) tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+_VOCAB_TOPK_ORACLE = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 50
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline to CLUSTER ids: LSH band-bucket candidates ->
     exact Jaccard verify -> connected components (distributed min-label
@@ -1074,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "lsh_jaccard": q_lsh_jaccard,
         "neardup_clusters": q_neardup_clusters,
+        "seq_packing": q_seq_packing,
+        "vocab_topk": q_vocab_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -1111,6 +1166,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": _MINHASH_BANDS_ORACLE,
         "lsh_jaccard": _lsh_jaccard_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),
+        "seq_packing": _SEQ_PACKING_ORACLE,
+        "vocab_topk": _VOCAB_TOPK_ORACLE,
         "embedding_neardup": _embedding_neardup_oracle(),
         "ann_bruteforce": _ANN_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),
