@@ -128,6 +128,31 @@ def _tokens_digest(col: str):
     return F.md5(F.concat_ws(",", F.col(col).cast("array<string>"))).alias("tokens_md5")
 
 
+def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read mode, driver-verified: same replay as cdc_merge but the
+    table commits delta layers (changed rows + tombstones) instead of
+    rewriting buckets; the scan resolves layers last-wins at read time.
+    Asserts deltas actually exist (read-time resolution is exercised, not
+    compacted away) and must hash-match the same ANSI-SQL oracle."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="mbdm_mor_")
+    cat = Catalog(wh)
+    t = cat.create_table(
+        "sequences", SEQUENCES_SCHEMA, num_buckets=16,
+        properties={"merge_mode": "mor"},
+    )
+    t.append(seqs)
+    rep = ChangeStreamReplayer(spark, wh, "sequences", "mor", evolve_schema=False)
+    rep.apply_changes(events, events_per_batch=max(n_events, 1))
+    assert t.delta_layers() > 0, "merge-on-read produced no delta layers"
+    return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online schema evolution mid-replay, driver-verified: the event batch
     drifts from the table's creation schema in two ways — it carries a new
@@ -1104,6 +1129,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_merge": q_cdc_merge,
+        "cdc_merge_mor": q_cdc_merge_mor,
         "schema_evolution": q_schema_evolution,
         "cdc_stream": q_cdc_stream,
         "rollback_roundtrip": q_rollback_roundtrip,
@@ -1143,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_merge": _CDC_ORACLE,
+        "cdc_merge_mor": _CDC_ORACLE,
         "schema_evolution": _EVO_ORACLE,
         "cdc_stream": _CDC_ORACLE,
         "rollback_roundtrip": _ROLLBACK_ORACLE,
