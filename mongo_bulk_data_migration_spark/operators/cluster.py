@@ -31,7 +31,11 @@ Scale notes (100 TB design target):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
+
+log = logging.getLogger("mbdm-spark")
 
 
 def connected_components(
@@ -71,5 +75,12 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        log.warning(
+            "connected_components: no fixed point after %d rounds (%d labels "
+            "still changing) — graph has chains longer than max_iter; raise "
+            "max_iter or switch to the large-star/small-star update rule",
+            max_iter, changed,
+        )
 
     return labels.select(F.col("u").alias(out_id), F.col("label").alias(out_label))
