@@ -16,6 +16,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -121,6 +122,15 @@ def main() -> None:
     ap.add_argument("--report-only", action="store_true",
                     help="rebuild BENCH/BASELINE.md from logged pairs of the "
                          "current commit + workload (crash/timeout recovery)")
+    ap.add_argument("--window-gate-frac", type=float, default=0.7,
+                    help="pre-registered experiment precondition: a pair only "
+                         "STARTS when a pure-CPU probe shows the host "
+                         "delivering >= frac * 4N * per-core capacity — a "
+                         "local[4N] measurement on a host that cannot run 4N "
+                         "processes measures the scheduler, not the engine. "
+                         "0 disables the gate.")
+    ap.add_argument("--window-wait-s", type=int, default=60)
+    ap.add_argument("--window-max-waits", type=int, default=15)
     args = ap.parse_args()
     n_events = args.docs * args.events_per_doc
     commit = _git_commit()
@@ -192,7 +202,28 @@ def main() -> None:
         args.repeats = len(pairs)
     else:
         pairs = []
+    per_core_mops = None
+    skipped_windows = 0
     for i in range(0 if args.report_only else args.repeats):
+        if args.window_gate_frac:
+            # pre-registered precondition (checked BEFORE the pair, recorded,
+            # never applied retroactively): the host must demonstrably
+            # deliver ~4N cores or the 4N leg measures the scheduler cap.
+            if per_core_mops is None:
+                per_core_mops = host_probe(1, 8_000_000)
+            need = args.window_gate_frac * args.xn_cores * per_core_mops
+            for w in range(args.window_max_waits + 1):
+                gate = host_probe(args.xn_cores)
+                if gate >= need:
+                    break
+                print(json.dumps({"window_gate": {"pair": i, "probe_mops": gate,
+                                                  "need_mops": round(need, 1),
+                                                  "wait": w}}), flush=True)
+                time.sleep(args.window_wait_s)
+            else:
+                skipped_windows += 1
+                print(json.dumps({"window_gate_skip": {"pair": i}}), flush=True)
+                continue
         probe0 = host_probe()
         r_n = run(args.n_cores, args.docs, n_events, args.batches, args.buckets, args.strategy)
         probe1 = host_probe()
@@ -207,6 +238,11 @@ def main() -> None:
                                     "pair": i, "host_probe_mops": pr}) + "\n")
         print(json.dumps(pairs[-1]), flush=True)
 
+    if not pairs:
+        raise SystemExit(
+            "no pairs ran: the host window never satisfied the pre-registered "
+            "gate (see window_gate lines above); report unchanged"
+        )
     by_eff = sorted(pairs, key=lambda p: p["eff"])
     med = by_eff[len(by_eff) // 2]
     best = by_eff[-1]
@@ -242,9 +278,14 @@ Median pair (of {args.repeats} interleaved N/4N pairs, commit {commit}):
 | local[{args.xn_cores}] (4N) | {r_4n['wall_s']} | {r_4n['events_per_sec']:,} |
 
 - median pair speedup N -> 4N: **{eff * factor:.2f}x** (ideal {factor:.0f}x)
-- **scaling efficiency: {eff:.3f} (median pair)**; best pair this session:
-  {best['eff']:.3f} (target >= 0.8 at 10^10-event scale, where per-batch
-  fixed costs amortize further)
+- **scaling efficiency: {eff:.3f} (median pair)** (target >= 0.8; at
+  10^10-event scale per-batch fixed costs amortize further). Pair spread
+  this session: {by_eff[0]['eff']:.3f} .. {best['eff']:.3f} — pairs far
+  from the median (including any over-unity value, which is physically
+  impossible for the code) are host-window shear: the N and 4N legs of that
+  pair ran under different deliverable-CPU caps despite being back-to-back;
+  the per-pair host probes below make those visible. The median is the
+  claim.
 
 Method notes: each repeat runs N then 4N BACK-TO-BACK in fresh JVMs (one
 pair ~ one host-CPU window — the sandbox host's deliverable CPU fluctuates
