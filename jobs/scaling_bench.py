@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -64,9 +65,17 @@ def run(cores: int, n_docs: int, n_events: int, batches: int, buckets: int, stra
         repo=REPO, cores=cores, n_docs=n_docs, n_events=n_events, batches=batches,
         buckets=buckets, strategy=strategy,
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
+    # Pin the whole worker process tree (JVM task threads AND its GC/IO/
+    # python-worker helpers) to exactly `cores` CPUs: local[N] alone only
+    # caps Spark task slots, so on an idle host the "1-core" leg borrows
+    # extra cores through auxiliary threads and deflates the measured
+    # N->4N ratio (observed: the local[1] leg swung 5.4k-12.4k ev/s with
+    # host idleness). cgroup-style pinning is what a real cluster's
+    # executor cgroups do; taskset is the sandbox equivalent.
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
