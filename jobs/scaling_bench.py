@@ -300,7 +300,14 @@ Method notes: each repeat runs N then 4N BACK-TO-BACK in fresh JVMs (one
 pair ~ one host-CPU window — the sandbox host's deliverable CPU fluctuates
 several-fold over minutes, verified with a pure-CPU multiprocessing probe:
 {cpu_note}); efficiency is computed per pair and the median pair is
-reported, never a cross-session composition.  `spark.sql.shuffle.partitions`
+reported, never a cross-session composition. Each worker is
+**taskset-pinned to exactly its core budget** (local[N] alone only caps
+Spark task slots — GC/IO/python-worker threads would otherwise borrow idle
+host cores and corrupt the ratio in either direction), and a
+**pre-registered window gate** blocks a pair from starting unless a probe
+shows the host actually delivering >= 0.7 * 4N * per-core capacity (a
+local[4N] run on a host that cannot schedule 4N processes measures the
+scheduler, not the engine). `spark.sql.shuffle.partitions`
 matches the core count; AQE + skew-join enabled; the dominant stages (merge
 join, changelog write, bucket rewrite) are all partition-parallel, which is
 what carries the scaling to a real 1000-executor cluster.
