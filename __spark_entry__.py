@@ -789,6 +789,65 @@ GROUP BY word ORDER BY n DESC, word LIMIT 50
 """
 
 
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by key hash (see
+    functions/sampling.py): a pure function of doc_id — stable across runs,
+    partitionings, and cluster sizes, and reproducible in ANSI SQL (unlike
+    Spark's seed+partition-dependent sample())."""
+    from mongo_bulk_data_migration_spark.functions.sampling import (
+        hash_bucket,
+        holdout_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        hash_bucket(F.col("doc_id"), 100).alias("bucket"),
+        holdout_split(F.col("doc_id")).alias("split"),
+    )
+
+
+_HOLDOUT_ORACLE = """
+SELECT doc_id, source,
+       (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::INT AS bucket,
+       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 90 THEN 'train'
+            WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing >=1 char 20-gram
+    with the benchmark set (docs 0-19 as the stand-in eval suite). Broadcast
+    left-semi join on exploded grams — the corpus side never shuffles."""
+    from mongo_bulk_data_migration_spark.operators.dedup_text import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 20)
+    corpus = d.where(F.col("doc_id") >= 20)
+    return contaminated_docs(corpus, bench, k=20)
+
+
+_DECONTAMINATE_ORACLE = """
+WITH nt AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents
+),
+b AS (
+  SELECT DISTINCT unnest([substr(t, i, 20)
+                          for i in generate_series(1, greatest(len(t) - 19, 1))]) AS g
+  FROM nt WHERE doc_id < 20
+),
+d AS (
+  SELECT doc_id, unnest([substr(t, i, 20)
+                         for i in generate_series(1, greatest(len(t) - 19, 1))]) AS g
+  FROM nt WHERE doc_id >= 20
+)
+SELECT DISTINCT d.doc_id FROM d JOIN b USING (g)
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline to CLUSTER ids: LSH band-bucket candidates ->
     exact Jaccard verify -> connected components (distributed min-label
@@ -1154,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard": q_lsh_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "seq_packing": q_seq_packing,
+        "holdout_split": q_holdout_split,
+        "decontaminate": q_decontaminate,
         "vocab_topk": q_vocab_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1194,6 +1255,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_jaccard": _lsh_jaccard_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),
         "seq_packing": _SEQ_PACKING_ORACLE,
+        "holdout_split": _HOLDOUT_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
         "vocab_topk": _VOCAB_TOPK_ORACLE,
         "embedding_neardup": _embedding_neardup_oracle(),
         "ann_bruteforce": _ANN_ORACLE,

@@ -326,3 +326,34 @@ def embedding_neardup_pairs(
         F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
     )
     return pairs.where(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Training documents sharing >= 1 character k-gram with a benchmark set
+    (decontamination before pretraining).
+
+    Plan shape for 100 TB: the BENCHMARK side is always small (eval suites
+    are), so its distinct gram set broadcasts; the corpus side explodes its
+    grams and left-semi joins against the broadcast — the big side never
+    shuffles and short-circuits per partition. For very long documents the
+    production variant hashes grams to int64 (``xxhash64``) to shrink the
+    exploded width; this oracle-checked form keeps raw grams so the exact
+    same join reproduces in ANSI SQL.
+    """
+    b = (
+        benchmark.select(F.explode(shingles(F.col(text_col), k)).alias("__g"))
+        .distinct()
+    )
+    d = docs.select(id_col, F.explode(shingles(F.col(text_col), k)).alias("__g"))
+    return d.join(F.broadcast(b), "__g", "left_semi").select(id_col).distinct()

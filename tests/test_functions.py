@@ -255,3 +255,43 @@ def test_connected_components_label_propagation(spark):
         "x": "x", "y": "x",
         "m": "m", "n": "m", "o": "m",
     }
+
+
+def test_holdout_split_deterministic(spark):
+    """Split is a pure function of the key (python-md5-checkable) and the
+    bucket ring is percent-granular."""
+    import hashlib
+
+    from mongo_bulk_data_migration_spark.functions.sampling import (
+        hash_bucket,
+        holdout_split,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        hash_bucket(F.col("id"), 100).alias("bucket"),
+        holdout_split(F.col("id")).alias("split"),
+    )
+    for r in df.collect():
+        b = int(hashlib.md5(str(r["id"]).encode()).hexdigest()[:8], 16) % 100
+        assert r["bucket"] == b
+        want = "train" if b < 90 else ("valid" if b < 95 else "test")
+        assert r["split"] == want
+
+
+def test_contaminated_docs_broadcast_semi_join(spark):
+    from mongo_bulk_data_migration_spark.operators.dedup_text import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx the quick brown fox jumps somewhere else"),  # shares 20-gram
+            (2, "completely different words entirely here now"),
+            (3, "lazy dog walks home"),  # shares words but no 20-char run
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"] for r in contaminated_docs(corpus, bench, k=20).collect()}
+    assert got == {1}
