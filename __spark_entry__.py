@@ -296,6 +296,40 @@ def q_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel through the driver gate: after the full CDC
+    replay rewrote the table, reading the pre-replay snapshot version must
+    return the exact initial table (atomic-manifest versioning; the
+    rename-swap rollback analog the reference's DELETE_COLLECTION relies
+    on). Oracle = the initial sequences alone."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="mbdm_tt_")
+    cat = Catalog(wh)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=16)
+    t.append(seqs)
+    v_initial = t.current_version()
+    rep = ChangeStreamReplayer(spark, wh, "sequences", "tt", evolve_schema=False)
+    rep.apply_changes(events, events_per_batch=max(n_events, 1))
+    assert t.current_version() > v_initial, "replay committed no snapshots"
+    return t.read(spark, version=v_initial).select(
+        "doc_id", _tokens_digest("tokens"), "n_tok", "source"
+    )
+
+
+_TIME_TRAVEL_ORACLE = (
+    _CDC_ORACLE.split("\nev AS (")[0].rstrip().rstrip(",")
+    + """
+SELECT doc_id, md5(array_to_string(tokens::INT[], ',')) AS tokens_md5, n_tok, source
+FROM seqs
+"""
+)
+
+
 # schema-evolution oracle: same merge algebra as _CDC_ORACLE plus the drifted
 # `extra` payload column (NULL for rows the batch did not touch — exactly the
 # online ADD COLUMN read semantics; tokens widening does not change the digest)
@@ -1189,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_merge": q_cdc_merge,
         "cdc_merge_mor": q_cdc_merge_mor,
+        "time_travel": q_time_travel,
         "schema_evolution": q_schema_evolution,
         "cdc_stream": q_cdc_stream,
         "rollback_roundtrip": q_rollback_roundtrip,
@@ -1231,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_merge": _CDC_ORACLE,
         "cdc_merge_mor": _CDC_ORACLE,
+        "time_travel": _TIME_TRAVEL_ORACLE,
         "schema_evolution": _EVO_ORACLE,
         "cdc_stream": _CDC_ORACLE,
         "rollback_roundtrip": _ROLLBACK_ORACLE,

@@ -27,7 +27,7 @@ def main() -> None:
     ap.add_argument("--migration-id", required=True)
     ap.add_argument("--events", required=True, help="parquet dir of change events")
     ap.add_argument("--events-per-batch", type=int, default=5_000_000)
-    ap.add_argument("--merge-strategy", choices=["broadcast", "shuffle"], default="broadcast")
+    ap.add_argument("--merge-strategy", choices=["auto", "broadcast", "shuffle"], default="auto")
     ap.add_argument("--dedup-salt", type=int, default=None)
     ap.add_argument("--no-evolve-schema", action="store_true")
     ap.add_argument("--rollback", action="store_true", help="roll the migration back instead")
