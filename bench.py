@@ -59,6 +59,59 @@ def _spin(n: int) -> int:
     return x
 
 
+# ---------------------------------------------------------------------------
+# Pre-registered host-window gate (VERDICT r2 #1): the official artifact must
+# not be minted in a collapsed scheduler window.  The gate is checked BEFORE
+# each timed leg and recorded; it is never applied retroactively.
+#
+# Shape of the check: single-core throughput holds steady during collapses
+# (the scheduler caps CONCURRENCY, not per-core speed — measured r1/r2), so
+# the gate compares the CPUS-proc probe against what this host's measured
+# parallel-efficiency curve says CPUS procs should deliver given the current
+# 1-proc capacity.  Clean windows: 32p ≈ 11.5 × 1p; the r2 collapsed window
+# that poisoned BENCH_r02 showed 7.9 ×.
+# ---------------------------------------------------------------------------
+GATE_FRAC = float(os.environ.get("MBDM_BENCH_GATE_FRAC", "0.85"))
+GATE_WAIT_S = float(os.environ.get("MBDM_BENCH_GATE_WAIT_S", "45"))
+GATE_MAX_WAITS = int(os.environ.get("MBDM_BENCH_GATE_WAITS", "8"))
+
+# measured host parallel-speedup curve (procs -> × of 1-proc), round-1 probe
+_SPEEDUP = {1: 1.0, 2: 1.92, 4: 3.7, 8: 5.7, 16: 9.0, 32: 11.5}
+
+
+def _expect_speedup(n_proc: int) -> float:
+    if n_proc in _SPEEDUP:
+        return _SPEEDUP[n_proc]
+    ks = sorted(_SPEEDUP)
+    lo = max([k for k in ks if k <= n_proc], default=ks[0])
+    hi = min([k for k in ks if k >= n_proc], default=ks[-1])
+    if lo == hi:
+        return _SPEEDUP[lo]
+    f = (n_proc - lo) / (hi - lo)
+    return _SPEEDUP[lo] + f * (_SPEEDUP[hi] - _SPEEDUP[lo])
+
+
+def wait_for_window(per_core_mops: float, tag: str, gates: list[dict]) -> bool:
+    """Block until the host delivers a clean window (or waits run out).
+
+    Returns True if the last probe met the pre-registered bar; every probe is
+    appended to ``gates`` so the artifact shows exactly what the host was
+    delivering when each leg started."""
+    need = GATE_FRAC * _expect_speedup(CPUS) * per_core_mops
+    for w in range(GATE_MAX_WAITS + 1):
+        got = _host_probe(CPUS)
+        rec = {"tag": tag, "probe_mops": got, "need_mops": round(need, 1), "wait": w}
+        gates.append(rec)
+        if got >= need:
+            rec["passed"] = True
+            return True
+        rec["passed"] = False
+        print(json.dumps({"window_gate": rec}), file=sys.stderr, flush=True)
+        if w < GATE_MAX_WAITS:
+            time.sleep(GATE_WAIT_S)
+    return False
+
+
 def _cdc_once(spark, n_docs: int, n_events: int, run_id: str) -> dict:
     from mongo_bulk_data_migration_spark import Catalog
     from mongo_bulk_data_migration_spark.sources.fixtures import (
@@ -98,22 +151,26 @@ def _cdc_once(spark, n_docs: int, n_events: int, run_id: str) -> dict:
 RETRY_BELOW_EV_S = float(os.environ.get("MBDM_BENCH_RETRY_BELOW", "9000"))
 
 
-def bench_cdc(spark) -> dict:
-    """CDC merge-apply throughput, adaptive best-of-2.
+def bench_cdc(spark, per_core_mops: float, gates: list[dict]) -> dict:
+    """CDC merge-apply throughput, window-gated adaptive best-of-2.
 
     The sandbox host's deliverable CPU fluctuates several-fold over minutes
     (BENCH/BASELINE.md documents identical jobs at 3.6k and 12k ev/s in
-    adjacent windows).  One retry when the first run lands below the
-    good-window floor keeps the official number a property of the CODE, not
-    of the scheduler; both attempts are reported."""
+    adjacent windows).  Each attempt starts only after the pre-registered
+    window gate passes (or its waits run out — recorded either way), and one
+    retry when the first run still lands below the good-window floor keeps
+    the official number a property of the CODE, not of the scheduler; both
+    attempts are reported."""
     n_docs_base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
     n_docs = n_docs_base * DOCS_MULT
     n_events = n_docs * EVENTS_PER_DOC
 
+    wait_for_window(per_core_mops, "cdc-attempt-0", gates)
     attempts = [_cdc_once(spark, n_docs, n_events, "bench")]
     # the floor is calibrated for the sf0.1 benchmark scale; tiny inputs are
     # dominated by fixed per-batch protocol cost and never reach it
     if n_events >= 200_000 and attempts[0]["events_per_sec"] < RETRY_BELOW_EV_S:
+        wait_for_window(per_core_mops, "cdc-attempt-1", gates)
         attempts.append(_cdc_once(spark, n_docs, n_events, "bench2"))
     best = max(attempts, key=lambda a: a["events_per_sec"])
     best["attempts_events_per_sec"] = [a["events_per_sec"] for a in attempts]
@@ -127,17 +184,23 @@ def main() -> None:
     spark = get_spark(app_name="mbdm-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     queries = E.queries()
 
+    # single-core capacity anchors the gate: it holds steady through
+    # scheduler collapses while multi-proc capacity craters
+    per_core = _host_probe(1, 8_000_000)
+    gates: list[dict] = []
+
     timings: dict[str, float] = {}
     # warm the JVM/IO once with a cheap count
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
+    wait_for_window(per_core, "suite", gates)
     for name in HEADLINE:
         t0 = time.monotonic()
         df = queries[name](spark, SF_DIR)
         n = df.count()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    cdc = bench_cdc(spark)
+    cdc = bench_cdc(spark, per_core, gates)
     timings["cdc_replay"] = cdc["replay_sec"]
 
     total = round(sum(timings.values()), 3)
@@ -152,7 +215,16 @@ def main() -> None:
         "cdc_events_per_sec": cdc["events_per_sec"],
         # host window quality at measurement time (M int-ops/s, 1 vs CPUS
         # processes): identifies degraded-scheduler windows in the record
-        "host_mops": {"1p": _host_probe(1, 8_000_000), f"{CPUS}p": _host_probe(CPUS)},
+        "host_mops": {"1p": per_core, f"{CPUS}p": _host_probe(CPUS)},
+        # pre-registered window gate: every probe taken before a timed leg
+        # (tag, probe, bar, pass/fail) — see GATE_* env knobs
+        "window_gate": {
+            "per_core_mops": per_core,
+            "frac": GATE_FRAC,
+            "expect_speedup": round(_expect_speedup(CPUS), 2),
+            "probes": gates,
+            "all_passed": all(g.get("passed") for g in gates) if gates else False,
+        },
     }
     print(json.dumps(out))
 

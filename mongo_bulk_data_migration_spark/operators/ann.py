@@ -64,9 +64,16 @@ def ivf_topk(
         int(r[id_col]): [float(x) for x in r[vec_col]]
         for r in df.where(F.col(id_col) < n_centroids).collect()
     }
-    cent_lits = [
-        F.array(*[F.lit(x) for x in cents[i]]) for i in sorted(cents)
-    ]
+    if not cents:
+        raise ValueError(
+            f"ivf_topk: no centroid rows found (no {id_col} < {n_centroids})"
+        )
+    # __list below is the 1-based ARRAY POSITION in this ordered layout, not
+    # the raw centroid id — ids may be sparse (filtered table); map ids to
+    # positions everywhere or probes scan the wrong inverted lists (ADVICE r2)
+    ordered = sorted(cents)
+    pos_of = {cid: p + 1 for p, cid in enumerate(ordered)}
+    cent_lits = [F.array(*[F.lit(x) for x in cents[i]]) for i in ordered]
     dists = F.array(*[_sqdist(F.col(vec_col), c) for c in cent_lits])
     assigned = df.withColumn(
         "__list", F.array_position(dists, F.array_min(dists)).cast("int")
@@ -79,7 +86,7 @@ def ivf_topk(
         i: pydot(query_vec, query_vec) + pydot(v, v) - 2 * pydot(query_vec, v)
         for i, v in cents.items()
     }
-    probes = [i + 1 for i, _ in sorted(qd.items(), key=lambda kv: kv[1])[:nprobe]]
+    probes = [pos_of[i] for i, _ in sorted(qd.items(), key=lambda kv: kv[1])[:nprobe]]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.where(F.col("__list").isin(probes))

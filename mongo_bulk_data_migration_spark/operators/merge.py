@@ -83,16 +83,15 @@ class MergePlan:
     result_prepartitioned: bool = False  # result already bucket-organized
 
     def metrics(self) -> dict[str, int]:
+        from ..plans.obsutil import observed
+
         out: dict[str, int] = {}
         for o in self.observations.values():
-            try:
-                for k, v in o.get.items():
-                    if isinstance(v, (int, float)) or v is None:
-                        out[k] = int(v or 0)
-            except Exception:
-                # AQE empty-relation propagation can eliminate an observe
-                # node whose branch produced no rows — treat as zeros
-                pass
+            # an observe node on a branch AQE eliminated reads as {} (its
+            # branch produced no rows); real failures propagate
+            for k, v in observed(o).items():
+                if isinstance(v, (int, float)) or v is None:
+                    out[k] = int(v or 0)
         if "n_inserted" not in out:
             if {"n_src_upserts", "n_put_matched", "n_insert_skipped"} <= out.keys():
                 # derived, no extra job: upsert-class source rows that neither

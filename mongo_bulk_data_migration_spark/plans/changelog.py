@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from ..sources.catalog import Catalog
 from ..sources.laketable import LakeTable, is_widening
+from .obsutil import observed
 
 KIND_BACKUP = "backup"
 KIND_TOMBSTONE = "tombstone"
@@ -234,12 +235,9 @@ class Changelog:
             operation=f"backup-batch-{batch_id}",
             applied={self.migration_id: {"batch_id": batch_id}},
         )
-        try:
-            return int(n_obs.get.get("n_backups") or 0)
-        except Exception:
-            # AQE empty-relation propagation eliminates the observe node when
-            # the whole append is a replayed no-op — zero fresh backups
-            return 0
+        # eliminated-observe (replayed no-op append) reads as zero fresh
+        # backups; any REAL failure propagates (obsutil narrows the catch)
+        return int(observed(n_obs).get("n_backups") or 0)
 
     def _existing_log(
         self,

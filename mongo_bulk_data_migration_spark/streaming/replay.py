@@ -43,6 +43,7 @@ from ..operators.dedup import last_wins
 from ..operators.merge import OP_COL, build_merge_plan, run_merge
 from ..plans.changelog import Changelog
 from ..plans.engine import MongoBulkDataMigrationSpark
+from ..plans.obsutil import observed
 from ..plans.hwm import HwmStore
 from ..plans.metrics import MetricsSink
 from ..plans.migration import DataMigrationConfig, MigrationOptions
@@ -120,10 +121,9 @@ class ChangeStreamReplayer:
             o_bounds, F.min("seq").alias("lo"), F.max("seq").alias("hi")
         ).write.mode("overwrite").option("compression", "uncompressed").parquet(scratch)
         try:
-            try:
-                bounds = o_bounds.get
-            except Exception:
-                bounds = {}  # observe node eliminated: statically empty input
+            # eliminated observe node <=> statically empty input; real
+            # failures propagate (obsutil narrows the catch)
+            bounds = observed(o_bounds)
             if bounds.get("lo") is None:
                 return []
             pending = self.spark.read.schema(pending_plan.schema).parquet(scratch)
@@ -198,6 +198,7 @@ class ChangeStreamReplayer:
         t_plan = t_changelog = t_merge = 0.0
         if self.evolve_schema:
             self._maybe_evolve(target, batch)
+        raw_batch = batch
         if cfg.options.continue_on_bulk_write_error:
             # B5: malformed events route to a dead-letter table instead
             # of failing the batch (`AbstractBulkOperationResults.ts:60-73`);
@@ -233,11 +234,8 @@ class ChangeStreamReplayer:
         ).collect()
         if not part_rows:
             plan.release()
-            return None
-        try:
-            n_events = int(o_ev.get.get("n_events") or 0) + n_dead
-        except Exception:
-            n_events = 0
+            return self._advance_past_dead(raw_batch, batch_id, n_dead, t0)
+        n_events = int(observed(o_ev).get("n_events") or 0) + n_dead
         part_hwm = {int(r["__c_part"]): int(r["max_seq"]) for r in part_rows}
         max_seq = max(part_hwm.values())
         t_lineage = time.monotonic() - t0 - t_plan
@@ -299,6 +297,43 @@ class ChangeStreamReplayer:
         return m
 
     # ------------------------------------------------------------------
+
+    def _advance_past_dead(
+        self, raw_batch: DataFrame, batch_id: int, n_dead: int, t0: float
+    ) -> dict[str, Any] | None:
+        """Empty collapsed source: nothing to merge — but if the batch HAD
+        events (all dead-lettered under continue_on_bulk_write_error), the
+        HWM must still advance past them.  Otherwise every subsequent
+        ``apply_changes`` call re-filters, re-dead-letters, and re-plans the
+        same malformed events forever — a silent livelock in exactly the
+        keep-going-on-bad-data mode (ADVICE r2).  The dead-letter write is
+        idempotent (mode=overwrite per batch dir), so a crash before this
+        advance replays cleanly."""
+        if not n_dead:
+            return None  # genuinely empty seq range
+        part_rows = raw_batch.groupBy("part").agg(
+            F.max("seq").alias("max_seq")
+        ).collect()
+        if not part_rows:
+            return None
+        part_hwm = {int(r["part"]): int(r["max_seq"]) for r in part_rows}
+        self.hwm.advance(part_hwm, batch_id)
+        wall = time.monotonic() - t0
+        m = {
+            "migration_id": self.config.id,
+            "batch_id": batch_id,
+            "n_events": int(n_dead),
+            "n_parts": len(part_hwm),
+            "part_hwm": part_hwm,
+            "max_seq": max(part_hwm.values()),
+            "n_backups": 0,
+            "n_dead_lettered": int(n_dead),
+            "replayed": False,
+            "wall_s": round(wall, 4),
+            "events_per_sec": round(n_dead / wall, 1) if wall > 0 else None,
+        }
+        self.metrics.emit(m)
+        return m
 
     def _dead_letter(self, batch: DataFrame, batch_id: int):
         """Split malformed events out to `<warehouse>/_state/deadletter_<id>/`."""

@@ -45,17 +45,26 @@ def dedup_by_seq(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        last = state.get[0] if state.exists else -1
-        emitted = []
+        # Filter every chunk against the HWM captured at GROUP ENTRY, not a
+        # running max: Arrow chunk order within a group is not seq-ordered,
+        # so advancing the mark mid-iteration drops fresh events whose seq
+        # is below a higher seq seen in an earlier chunk of the same
+        # micro-batch (ADVICE r2).  State advances once, after all chunks.
+        hwm = state.get[0] if state.exists else -1
+        fresh_chunks = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(seq)
-            fresh = pdf[pdf[seq] > last]
+            fresh = pdf[pdf[seq] > hwm]
             if len(fresh):
-                last = int(fresh[seq].max())
-                emitted.append(fresh)
-        state.update((last,))
-        for e in emitted:
-            yield e
+                fresh_chunks.append(fresh)
+        if fresh_chunks:
+            out = pd.concat(fresh_chunks, ignore_index=True).sort_values(seq)
+            # same-seq replays delivered twice within one micro-batch are
+            # identical events — emit once (exactly-once within the batch)
+            out = out.drop_duplicates(subset=[seq], keep="last")
+            state.update((int(out[seq].max()),))
+            yield out
+        else:
+            state.update((hwm,))
 
     return (
         events.groupBy(key)

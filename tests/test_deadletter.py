@@ -54,6 +54,33 @@ def test_dead_letter_routing(spark, warehouse):
     }
 
 
+def test_all_dead_batch_advances_hwm_no_livelock(spark, warehouse):
+    """ADVICE r2 regression: a batch whose events are ALL dead-lettered must
+    still advance the HWM — otherwise every later run re-filters and
+    re-dead-letters the same events forever (silent livelock)."""
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(spark.createDataFrame(make_sequences(3), SEQUENCES_SCHEMA))
+    ev = [
+        dict(seq=0, part=0, op="frobnicate", doc_id="doc00000001", tokens=None,
+             transform=None, source=None, extra=None),
+        dict(seq=1, part=1, op="insert", doc_id="docX", tokens=None,
+             transform=None, source=None, extra=None),
+    ]
+    opts = MigrationOptions(continue_on_bulk_write_error=True)
+    edf = spark.createDataFrame(ev, CHANGES_SCHEMA)
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "dl3", options=opts)
+    ms = rep.apply_changes(edf, events_per_batch=100)
+    assert len(ms) == 1
+    assert ms[0]["n_dead_lettered"] == 2 and ms[0]["n_backups"] == 0
+    assert ms[0]["part_hwm"] == {0: 0, 1: 1}
+
+    # fresh replayer, same migration id: the HWM filter drops the whole
+    # stream — no second dead-letter pass, no metrics row
+    rep2 = ChangeStreamReplayer(spark, warehouse, "seq", "dl3", options=opts)
+    assert rep2.apply_changes(edf, events_per_batch=100) == []
+
+
 def test_without_flag_malformed_is_noop_not_routed(spark, warehouse):
     """Default: unknown transforms fall through as no-ops (reference aborts
     the bulk; our batch commit is atomic so the analog is strict mode off)."""

@@ -238,6 +238,32 @@ def test_embedding_neardup_and_ann(spark):
     assert {r["vec_id"] for r in lsh.collect()} >= {1}
 
 
+def test_ivf_topk_sparse_centroid_ids(spark):
+    """ADVICE r2 regression: ivf_topk must map centroid IDs to array
+    POSITIONS — with gaps in the id space (filtered table) the probe list
+    previously pointed at the wrong inverted lists."""
+    import math
+
+    import pytest
+
+    from mongo_bulk_data_migration_spark.operators.ann import brute_force_topk, ivf_topk
+
+    def vec(seed, dim=16):
+        return [math.sin(seed * (i + 1)) for i in range(dim)]
+
+    # ids 0..9 minus {1, 3}: centroid candidates (< 8) are {0,2,4,5,6,7} —
+    # sparse, non-contiguous
+    rows = [(i, vec(i + 1)) for i in range(10) if i not in (1, 3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [v * 1.001 for v in vec(8)]  # near vec_id=7
+    got = [r["vec_id"] for r in ivf_topk(df, q, k=1, n_centroids=8, nprobe=6).collect()]
+    want = [r["vec_id"] for r in brute_force_topk(df, q, k=1).collect()]
+    assert got == want == [7]
+
+    with pytest.raises(ValueError, match="no centroid rows"):
+        ivf_topk(df.where("vec_id >= 8"), q, k=1, n_centroids=8)
+
+
 def test_connected_components_label_propagation(spark):
     """Chain (multi-round convergence), pair, and triangle components all
     resolve to min-id cluster labels; unpaired nodes never appear."""

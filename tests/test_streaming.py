@@ -101,3 +101,37 @@ def test_stateful_dedup_by_seq_across_epochs(spark, tmp_path):
     got = sorted((r["doc_id"], r["seq"]) for r in spark.sql("SELECT * FROM deduped").collect())
     # each (key, seq) exactly once despite the full replay in batch 2
     assert got == [("a", 0), ("a", 2), ("a", 4), ("b", 1), ("b", 3)]
+
+
+def test_stateful_dedup_chunk_order_independent(spark, tmp_path):
+    """ADVICE r2 regression: with tiny Arrow batches a group arrives as many
+    chunks, and chunk order is not seq-ordered — a fresh event in a later
+    chunk whose seq is below an earlier chunk's max must NOT be dropped."""
+    from mongo_bulk_data_migration_spark.streaming.stateful import dedup_by_seq
+
+    stream_dir = str(tmp_path / "ev")
+    os.makedirs(stream_dir)
+    # one key, one micro-batch, seqs deliberately out of order: 4 first
+    rows = [(4, 0, "update", "a"), (2, 0, "update", "a"), (3, 0, "update", "a")]
+    schema = "seq long, part int, op string, doc_id string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        stream = spark.readStream.schema(schema).parquet(stream_dir)
+        q = (
+            dedup_by_seq(stream, key="doc_id", seq="seq")
+            .writeStream.format("memory")
+            .queryName("deduped_chunks")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = sorted(r["seq"] for r in spark.sql("SELECT * FROM deduped_chunks").collect())
+    assert got == [2, 3, 4]
