@@ -434,6 +434,45 @@ GROUP BY c.c_custkey
 """
 
 
+def q_lookup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + $lookup SUB-PIPELINE passthrough (VERDICT r2 #9): the embedded
+    side is filtered and reshaped by an arbitrary pipeline BEFORE embedding
+    (the reference forwards `$lookup.pipeline` stages verbatim,
+    `MBDM.ts:225-230`) — here: open orders only, projected to their order
+    year; the query digests the embedded arrays to count + first year."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark.operators.lookup import lookup_join
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = lookup_join(
+        cust, orders, "c_custkey", "o_custkey", as_field="open_orders",
+        broadcast_right=False,
+        right_pipeline=lambda df: df.where(F.col("o_orderstatus") == "O").select(
+            "o_custkey", F.year("o_orderdate").cast("int").alias("o_year")
+        ),
+    )
+    return joined.select(
+        "c_custkey",
+        F.col("n_open_orders").cast("long").alias("n_open"),
+        F.array_min(
+            F.transform(F.col("open_orders"), lambda o: o["o_year"])
+        ).alias("first_year"),
+    )
+
+
+_LOOKUP_PIPELINE_ORACLE = """
+SELECT c.c_custkey,
+       count(o.o_custkey)::BIGINT AS n_open,
+       min(o.o_year)::INT AS first_year
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, year(o_orderdate)::INT AS o_year
+  FROM orders WHERE o_orderstatus = 'O'
+) o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
 def q_count_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 countDocuments(query) pre-pass."""
     n = (
@@ -1168,16 +1207,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     feats = decode_features(d)
-    # digest the float vector: the driver canonicalizer cannot sort raw lists
+    # scalar columns only — each is oracle-checkable (VERDICT r2 #4); the
+    # feature VECTOR is pinned by a golden-md5 pytest instead
+    # (tests/test_functions.py::test_multimodal_decode_features), because the
+    # stubbed decoder's rolling-hash arithmetic is not SQL-expressible
     return feats.select(
         "media_id",
         "kind",
         "n_bytes",
         F.size("features").alias("n_feat"),
-        F.md5(
-            F.concat_ws(",", F.transform("features", lambda x: F.format_number(x, 6)))
-        ).alias("features_md5"),
     )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id::VARCHAR AS media_id,
+       'image' AS kind,
+       coalesce(octet_length(encode(text)), 0)::INT AS n_bytes,
+       8::INT AS n_feat
+FROM documents
+"""
 
 
 def q_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1207,6 +1255,245 @@ SELECT printf('doc%08d', i) AS doc_id,
        (['web','books','code','wiki'])[(i % 4) + 1] AS source
 FROM (SELECT unnest(generate_series(0, (SELECT count(*) FROM documents) - 1)) AS i)
 """
+
+
+# ---------------------------------------------------------------------------
+# engine-stateful protocol queries (VERDICT r2 #2): each runs a full
+# migration-engine lifecycle in a temp warehouse and returns a deterministic
+# post-state the ANSI-SQL oracle reproduces from first principles — the same
+# shape as rollback_roundtrip, covering the SURVEY §2 operators that
+# previously had only pytest evidence.
+# ---------------------------------------------------------------------------
+
+# the initial derived sequences table as a DuckDB CTE (shared oracle prefix)
+_SEQS_CTE = _CDC_ORACLE.split("\nev AS (")[0].rstrip().rstrip(",")
+
+
+def _seed_sequences(spark: SparkSession, sf_dir: str, prefix: str):
+    """Temp-warehouse sequences table seeded with the derived fixture."""
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix=prefix)
+    cat = Catalog(wh)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=16)
+    t.append(seqs)
+    return wh, cat, t, events, n_events
+
+
+def q_delete_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 engine-stateful: DELETE_COLLECTION is an atomic table-rename
+    swap — update() parks the collection under the rollback name, rollback()
+    swaps it back (`MongoBulkDataMigration.ts:129-135,351-357`, behavior
+    pinned by `__tests__/MongoBulkDataMigration.test.ts:109-175`); clean()
+    afterwards tolerates the already-gone backup. Returns the restored table,
+    which must equal the untouched initial state."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import (
+        DELETE_COLLECTION,
+        DataMigrationConfig,
+        MongoBulkDataMigrationSpark,
+    )
+
+    wh, cat, t, _, _ = _seed_sequences(spark, sf_dir, "mbdm_delcol_")
+    cfg = DataMigrationConfig(
+        warehouse=wh, collection_name="sequences", id="delcol",
+        update=DELETE_COLLECTION,
+    )
+    eng = MongoBulkDataMigrationSpark(spark, cfg)
+    assert eng.update()["ok"] == 1
+    assert not cat.exists("sequences"), "collection not renamed away"
+    assert cat.exists(cfg.rollback_table_name), "parked copy missing"
+    assert eng.rollback()["ok"] == 1
+    assert cat.exists("sequences"), "collection not renamed back"
+    assert not cat.exists(cfg.rollback_table_name), "parked copy not consumed"
+    assert eng.clean()["ok"] == 1  # S8: absent backup tolerated
+    return (
+        cat.load_table("sequences")
+        .read(spark)
+        .select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
+    )
+
+
+def q_unset_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M6+P3 engine-stateful: `{"$unset": ["source"]}` over the predicate
+    n_tok % 3 = 0 writes typed NULLs (`rollback.test.ts:378-475`), then a
+    CUSTOM rollback callback (M6, `rollback.test.ts:932-972`) restricts the
+    restore to even-numbered doc ids — so the final state mixes restored,
+    still-unset, and untouched rows, all reproduced by the oracle. The
+    callback forces the changelog-replay path (time travel would ignore
+    it)."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import (
+        DataMigrationConfig,
+        MongoBulkDataMigrationSpark,
+    )
+
+    wh, cat, t, _, _ = _seed_sequences(spark, sf_dir, "mbdm_unset_")
+    cfg = DataMigrationConfig(
+        warehouse=wh, collection_name="sequences", id="unset",
+        query="n_tok % 3 = 0",
+        update={"$unset": ["source"]},
+        rollback=lambda df: df.where(
+            F.expr("cast(substring(doc_id, 4, 8) as int) % 2 = 0")
+        ),
+    )
+    eng = MongoBulkDataMigrationSpark(spark, cfg)
+    r = eng.update()
+    assert r["nModified"] == r["nBackups"] > 0
+    assert eng.rollback()["ok"] == 1
+    return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
+
+
+_UNSET_ROLLBACK_ORACLE = (
+    _SEQS_CTE
+    + """
+SELECT doc_id,
+       md5(array_to_string(tokens::INT[], ',')) AS tokens_md5,
+       n_tok,
+       CASE WHEN n_tok % 3 = 0 AND substr(doc_id, 4)::INT % 2 = 1
+            THEN NULL ELSE source END AS source
+FROM seqs
+"""
+)
+
+
+def q_pipeline_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+A2 engine-stateful: an aggregation-pipeline source (filter + virtual
+    field, the reference forwards sub-pipelines verbatim — `MBDM.ts:225-230`,
+    `update.test.ts:279-353`) feeds a vectorized update callback that consumes
+    the VIRTUAL column; a second migration whose pipeline matches nothing
+    asserts the empty-$count contract (`update.test.ts:337-352`: total=0,
+    zero writes, zero backups)."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import (
+        DataMigrationConfig,
+        MongoBulkDataMigrationSpark,
+    )
+
+    wh, cat, t, _, _ = _seed_sequences(spark, sf_dir, "mbdm_pipe_")
+    cfg = DataMigrationConfig(
+        warehouse=wh, collection_name="sequences", id="pipe",
+        pipeline=lambda df: df.where("n_tok % 7 = 0").withColumn(
+            "half", (F.col("n_tok") / 2).cast("int")
+        ),
+        update=lambda df: df.withColumn(
+            "source", F.concat(F.lit("p"), F.pmod(F.col("half"), F.lit(10)).cast("string"))
+        ),
+    )
+    eng = MongoBulkDataMigrationSpark(spark, cfg)
+    r = eng.update()
+    # A2: the pipeline pre-count IS the matched/modified set
+    assert r["batches"][0]["total_entries"] == r["nModified"] > 0
+
+    cfg0 = DataMigrationConfig(
+        warehouse=wh, collection_name="sequences", id="pipe0",
+        pipeline=lambda df: df.where("n_tok < 0"),
+        update=lambda df: df.withColumn("source", F.lit("never")),
+    )
+    r0 = MongoBulkDataMigrationSpark(spark, cfg0).update()
+    assert r0["batches"][0]["total_entries"] == 0
+    assert r0["nModified"] == 0 and r0["nBackups"] == 0
+    return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
+
+
+_PIPELINE_UPDATE_ORACLE = (
+    _SEQS_CTE
+    + """
+SELECT doc_id,
+       md5(array_to_string(tokens::INT[], ',')) AS tokens_md5,
+       n_tok,
+       CASE WHEN n_tok % 7 = 0 THEN 'p' || ((n_tok // 2) % 10)::VARCHAR
+            ELSE source END AS source
+FROM seqs
+"""
+)
+
+
+def q_no_update_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 engine-stateful: skip_unchanged (the NO_UPDATE per-row analog,
+    `MBDM.ts:284-286`, `update.test.ts:463-526`) must neither write NOR back
+    up rows whose value already matches. The skip itself is oracle-verified
+    row-wise: the returned `backed_up` column joins the changelog's backup
+    keys, and the oracle predicts it as (matched AND actually-changed)."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import (
+        NO_UPDATE,
+        DataMigrationConfig,
+        MigrationOptions,
+        MongoBulkDataMigrationSpark,
+    )
+
+    wh, cat, t, _, _ = _seed_sequences(spark, sf_dir, "mbdm_noup_")
+    cfg = DataMigrationConfig(
+        warehouse=wh, collection_name="sequences", id="noup",
+        query="n_tok % 2 = 1",
+        # NO_UPDATE as a dict value drops the column from the spec entirely
+        update={"source": "web", "n_tok": NO_UPDATE},
+        options=MigrationOptions(skip_unchanged=True),
+    )
+    eng = MongoBulkDataMigrationSpark(spark, cfg)
+    r = eng.update()
+    # only rows that actually change are written, and exactly those are
+    # backed up — unchanged matches are invisible to the protocol
+    assert r["nModified"] == r["nBackups"] > 0
+    backed = (
+        cat.load_table(cfg.rollback_table_name)
+        .read(spark)
+        .where("kind = 'backup'")
+        .select("doc_id", F.lit(True).alias("backed_up"))
+    )
+    return (
+        t.read(spark)
+        .join(backed, "doc_id", "left")
+        .select(
+            "doc_id",
+            _tokens_digest("tokens"),
+            "n_tok",
+            "source",
+            F.coalesce(F.col("backed_up"), F.lit(False)).alias("backed_up"),
+        )
+    )
+
+
+_NO_UPDATE_SKIP_ORACLE = (
+    _SEQS_CTE
+    + """
+SELECT doc_id,
+       md5(array_to_string(tokens::INT[], ',')) AS tokens_md5,
+       n_tok,
+       CASE WHEN n_tok % 2 = 1 THEN 'web' ELSE source END AS source,
+       coalesce(n_tok % 2 = 1 AND source <> 'web', false) AS backed_up
+FROM seqs
+"""
+)
+
+
+def q_cdc_merge_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR compaction through the driver gate (VERDICT r2 #7): after a
+    merge-on-read replay leaves delta layers, compact() folds them into the
+    base — and the compacted table must hash-match the SAME oracle the
+    layered read matched (read-path / fold-path equivalence)."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="mbdm_cmp_")
+    cat = Catalog(wh)
+    t = cat.create_table(
+        "sequences", SEQUENCES_SCHEMA, num_buckets=16,
+        properties={"merge_mode": "mor"},
+    )
+    t.append(seqs)
+    rep = ChangeStreamReplayer(spark, wh, "sequences", "cmp", evolve_schema=False)
+    rep.apply_changes(events, events_per_batch=max(n_events, 1))
+    assert t.delta_layers() > 0, "merge-on-read produced no delta layers"
+    t.compact(spark)
+    assert t.delta_layers() == 0, "compaction left delta layers"
+    return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
 
 
 # ---------------------------------------------------------------------------
@@ -1259,6 +1546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
+        "delete_collection": q_delete_collection,
+        "unset_rollback": q_unset_rollback,
+        "pipeline_update": q_pipeline_update,
+        "no_update_skip": q_no_update_skip,
+        "cdc_merge_compacted": q_cdc_merge_compacted,
+        "lookup_pipeline": q_lookup_pipeline,
     }
 
 
@@ -1301,5 +1594,13 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": _token_count_bpe_oracle(),
         "embedding_stats": _EMBEDDING_STATS_ORACLE,
         "simhash": _simhash_oracle(),
-        # multimodal_features: mapInPandas decode stub (rows-only check)
+        # multimodal: scalar columns oracle-checked; the stubbed decoder's
+        # feature vector is pinned by a pytest golden md5 instead
+        "multimodal_features": _MULTIMODAL_ORACLE,
+        "delete_collection": _ROLLBACK_ORACLE,
+        "unset_rollback": _UNSET_ROLLBACK_ORACLE,
+        "pipeline_update": _PIPELINE_UPDATE_ORACLE,
+        "no_update_skip": _NO_UPDATE_SKIP_ORACLE,
+        "cdc_merge_compacted": _CDC_ORACLE,
+        "lookup_pipeline": _LOOKUP_PIPELINE_ORACLE,
     }

@@ -10,6 +10,8 @@ shape; the dimension side broadcasts when small.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -20,6 +22,7 @@ def lookup_join(
     foreign_field: str,
     as_field: str = "matches",
     broadcast_right: bool = True,
+    right_pipeline: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """Pre-aggregate the RIGHT side per foreign key, then one left join.
 
@@ -28,7 +31,21 @@ def lookup_join(
     only shuffle is the right side's hash aggregation on the foreign key
     (map-side partial combine), the left never shuffles when the aggregated
     right broadcasts, and duplicate left rows are preserved — the actual
-    $lookup semantics."""
+    $lookup semantics.
+
+    ``right_pipeline`` is the reference's `$lookup` sub-pipeline passthrough
+    (arbitrary stages forwarded inside the lookup,
+    ``/root/reference/src/MongoBulkDataMigration.ts:225-230``): an arbitrary
+    DataFrame transform applied to the right side BEFORE grouping/embedding
+    (filter, projection, computed fields).  It must keep ``foreign_field``
+    in its output.  Declarative, so Catalyst pushes its filters/pruning into
+    the right-side scan."""
+    if right_pipeline is not None:
+        right = right_pipeline(right)
+        if foreign_field not in right.columns:
+            raise ValueError(
+                f"right_pipeline dropped the foreign field {foreign_field!r}"
+            )
     rcols = [c for c in right.columns]
     grouped = right.groupBy(F.col(foreign_field).alias("__fk")).agg(
         F.collect_list(F.struct(*[F.col(c) for c in rcols])).alias(as_field),

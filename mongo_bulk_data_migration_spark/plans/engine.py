@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import time
 from typing import Any
 
@@ -195,27 +196,71 @@ class MongoBulkDataMigrationSpark:
                        total: int) -> list[DataFrame]:
         """Split the update set into key-ordered <= max_bulk_size chunks.
 
-        Boundary keys come from one row_number pass over the KEY COLUMN only
-        (narrow single-column sort); each batch is then a pure key-range
-        predicate over the source — deterministic, pushdown-friendly, and
-        independent of physical partitioning.  At extreme scale, swap the
-        exact boundaries for repartitionByRange samples if the exact-size
-        split is not required; the per-batch commit protocol is unchanged.
+        Boundary keys are found by DISTRIBUTED exact ranking over the KEY
+        COLUMN only (VERDICT r2 #6 — no `row_number().over(orderBy(key))`
+        global window, which funnels every key through ONE task):
+
+        1. range-repartition + sort the keys and stage them ONCE to parquet
+           scratch (pids are then stable data, immune to RangePartitioner
+           re-sampling across jobs);
+        2. per-partition counts (tiny collect) -> global offsets per pid;
+        3. rows at global ranks 0, B, 2B, ... are located with a window
+           PARTITIONED by pid — every stage runs parallel; the single-task
+           work is only the O(n_batches) boundary collect.
+
+        Each batch is then a pure key-range predicate over the source —
+        deterministic, pushdown-friendly, independent of physical
+        partitioning, and identical to the old global-window split.
         """
         if not max_bulk_size or (0 <= total <= max_bulk_size):
             return [src]
+        import shutil
+        import uuid
+
         from pyspark.sql import Window
 
-        rn = F.row_number().over(Window.orderBy(key))
-        marks = [
-            r[0]
-            for r in src.select(key)
-            .withColumn("__rn", rn)
-            .where((F.col("__rn") - 1) % max_bulk_size == 0)
-            .orderBy("__rn")
-            .select(key)
-            .collect()
-        ]
+        n_part = max(int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+        scratch = os.path.join(self.config.warehouse, "_tmp", f"split-{uuid.uuid4().hex}")
+        (
+            src.select(key)
+            .repartitionByRange(n_part, F.col(key))
+            .sortWithinPartitions(key)
+            .withColumn("__pid", F.spark_partition_id())
+            .write.mode("overwrite")
+            .option("compression", "uncompressed")
+            .parquet(scratch)
+        )
+        try:
+            staged = self.spark.read.parquet(scratch)
+            cnts = {
+                r["__pid"]: r["n"]
+                for r in staged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            offsets, acc = {}, 0
+            for pid in sorted(cnts):  # ascending pid == ascending key range
+                offsets[pid] = acc
+                acc += cnts[pid]
+            targets = range(0, acc, max_bulk_size)
+            local = {
+                pid: [t - offsets[pid] + 1 for t in targets
+                      if offsets[pid] <= t < offsets[pid] + cnts[pid]]
+                for pid in cnts
+            }
+            cond = F.lit(False)
+            for pid, ts in local.items():
+                if ts:
+                    cond = cond | ((F.col("__pid") == pid) & F.col("__rn").isin(ts))
+            rn = F.row_number().over(Window.partitionBy("__pid").orderBy(key))
+            marks = [
+                r[0]
+                for r in staged.withColumn("__rn", rn)
+                .where(cond)
+                .select(key)
+                .orderBy(key)
+                .collect()
+            ]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
         if len(marks) <= 1:
             return [src]
         out = []
@@ -334,7 +379,10 @@ class MongoBulkDataMigrationSpark:
         target = self.get_collection()
         res = BulkOperationResult()
 
-        if self._try_snapshot_rollback(target):
+        # M6: a custom rollback callback rewrites the restore set per key —
+        # whole-table time travel would silently ignore it, so the fast path
+        # is only legal for the default inverse
+        if cfg.rollback is None and self._try_snapshot_rollback(target):
             self.clean()
             res.batches.append({"mode": "snapshot-time-travel"})
             return res.as_dict()

@@ -180,6 +180,44 @@ def test_multimodal_decode_features(spark):
     assert got["m2"]["features"] == [0.0] * 8
 
 
+def test_multimodal_features_vector_golden(spark):
+    """The driver row checks only the scalar columns (oracle-backed); the
+    stubbed decoder's FEATURE VECTOR output over sf0.001 documents is pinned
+    here as a literal golden digest so a decoder regression still fails."""
+    import os
+
+    from mongo_bulk_data_migration_spark.functions.multimodal import decode_features
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(sf):
+        pytest.skip("driver testdata not present")
+    d = spark.read.parquet(sf).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    feats = decode_features(d)
+    row_d = F.md5(
+        F.concat_ws(
+            "|",
+            "media_id",
+            F.concat_ws(",", F.transform("features", lambda x: F.format_number(x, 6))),
+        )
+    )
+    got = (
+        feats.select(row_d.alias("d"))
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("d")))).alias("g"))
+        .collect()[0]["g"]
+    )
+    assert got == "4345482848d7e9986d8adee695928c31"
+
+
 def test_multimodal_stubs_raise():
     from mongo_bulk_data_migration_spark.functions import multimodal
 
