@@ -1470,6 +1470,157 @@ FROM seqs
 )
 
 
+def q_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2/M5 engine-stateful over NESTED columns (VERDICT r2 #3): a table
+    with struct + array<struct> columns is migrated with a nested $set
+    (meta.ver + 1), a typed struct-leaf $unset (meta.owner -> NULL), and a
+    two-level filtered positional set ($[e].subKey2.$[e2].elt2, mirroring
+    `rollback.test.ts:997-1106`); the full nested pre-image rides the
+    changelog and rollback restores it exactly (changelog path forced by a
+    foreign writer commit).  Returns per-doc digests of BOTH states — the
+    oracle recomputes the nested transform and the restoration in SQL."""
+    _utc(spark)
+    from pyspark.sql import types as T
+
+    from mongo_bulk_data_migration_spark import (
+        Catalog,
+        DataMigrationConfig,
+        MongoBulkDataMigrationSpark,
+    )
+    from mongo_bulk_data_migration_spark.functions.nested import set_path, set_where
+
+    n_docs = _t(spark, sf_dir, "documents").count()
+    i = F.col("id")
+    keys = F.transform(
+        F.sequence(F.lit(0), F.pmod(i, F.lit(3)).cast("int")),
+        lambda j: F.struct(
+            F.when(j % 3 == 0, F.lit("match_me"))
+            .otherwise(F.concat(F.lit("k"), j.cast("string")))
+            .alias("subKey1"),
+            F.transform(
+                F.sequence(F.lit(0), F.pmod(i + j, F.lit(2)).cast("int")),
+                lambda k: F.struct(
+                    (F.lit(55) + F.lit(45) * j + F.lit(50) * k).cast("int").alias("elt1"),
+                    F.concat(F.lit("e"), k.cast("string")).alias("elt2"),
+                ),
+            ).alias("subKey2"),
+        ),
+    )
+    rows = spark.range(0, n_docs, 1, 8).select(
+        F.format_string("doc%08d", "id").alias("doc_id"),
+        F.struct(
+            F.concat(F.lit("u"), F.pmod(i, F.lit(7)).cast("string")).alias("owner"),
+            F.pmod(i, F.lit(5)).cast("int").alias("ver"),
+        ).alias("meta"),
+        keys.alias("keys"),
+    )
+    schema_ddl = (
+        "doc_id string, meta struct<owner: string, ver: int>, "
+        "keys array<struct<subKey1: string, subKey2: array<struct<elt1: int, elt2: string>>>>"
+    )
+    wh = tempfile.mkdtemp(prefix="mbdm_nested_")
+    cat = Catalog(wh)
+    t = cat.create_table("nested", T.StructType.fromDDL(schema_ddl), num_buckets=16)
+    t.append(rows)
+
+    new_meta = set_path(
+        set_path(F.col("meta"), "ver", (F.col("meta.ver") + 1).cast("int")),
+        "owner", F.lit(None).cast("string"),
+    )
+    new_keys = set_where(
+        F.col("keys"),
+        lambda e: e["subKey1"] == "match_me",
+        lambda e: e.withField(
+            "subKey2",
+            set_where(
+                e["subKey2"],
+                lambda e2: e2["elt1"] >= 100,
+                lambda e2: e2.withField("elt2", F.lit("SET")),
+            ),
+        ),
+    )
+    eng = MongoBulkDataMigrationSpark(
+        spark,
+        DataMigrationConfig(
+            warehouse=wh, collection_name="nested", id="nst",
+            query="meta.ver < 4", update={"meta": new_meta, "keys": new_keys},
+        ),
+    )
+    r = eng.update()
+    assert r["nModified"] == r["nBackups"] > 0
+
+    def canon():
+        inner = lambda e2: F.concat_ws(  # noqa: E731
+            "-", e2["elt1"].cast("string"), F.coalesce(e2["elt2"], F.lit("~"))
+        )
+        elem = lambda e: F.concat_ws(  # noqa: E731
+            ":", e["subKey1"], F.concat_ws(",", F.transform(e["subKey2"], inner))
+        )
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("meta.owner"), F.lit("~")),
+                F.col("meta.ver").cast("string"),
+                F.concat_ws(";", F.transform(F.col("keys"), elem)),
+            )
+        )
+
+    post_path = os.path.join(wh, "_post_digest")
+    t.read(spark).select("doc_id", canon().alias("post_digest")).write.parquet(post_path)
+    t.commit_marker({}, operation="foreign-touch")  # disable time-travel fast path
+    eng.rollback()
+    restored = t.read(spark).select("doc_id", canon().alias("restored_digest"))
+    return restored.join(spark.read.parquet(post_path), "doc_id")
+
+
+_NESTED_CANON_POST = """md5(concat_ws('|',
+  coalesce(meta.owner, '~'), meta.ver::VARCHAR,
+  array_to_string(list_transform(keys, e -> concat_ws(':', e.subKey1,
+    array_to_string(list_transform(e.subKey2, e2 ->
+      concat_ws('-', e2.elt1::VARCHAR, coalesce(e2.elt2, '~'))), ','))), ';')))"""
+
+_NESTED_ROUNDTRIP_ORACLE = (
+    """
+WITH p AS (SELECT count(*)::BIGINT AS n FROM documents),
+base AS (
+  SELECT printf('doc%08d', i) AS doc_id,
+         struct_pack(owner := 'u' || (i % 7)::VARCHAR, ver := (i % 5)::INT) AS meta,
+         list_transform(generate_series(0, i % 3), j -> struct_pack(
+           subKey1 := CASE WHEN j % 3 = 0 THEN 'match_me' ELSE 'k' || j::VARCHAR END,
+           subKey2 := list_transform(generate_series(0, (i + j) % 2), k -> struct_pack(
+             elt1 := (55 + 45 * j + 50 * k)::INT,
+             elt2 := 'e' || k::VARCHAR)))) AS keys
+  FROM (SELECT unnest(generate_series(0, (SELECT n FROM p) - 1)) AS i)
+),
+post AS (
+  SELECT doc_id,
+    CASE WHEN meta.ver < 4
+         THEN struct_pack(owner := NULL::VARCHAR, ver := (meta.ver + 1)::INT)
+         ELSE meta END AS meta,
+    CASE WHEN meta.ver < 4
+         THEN list_transform(keys, e ->
+           CASE WHEN e.subKey1 = 'match_me'
+                THEN struct_pack(subKey1 := e.subKey1,
+                                 subKey2 := list_transform(e.subKey2, e2 ->
+                                   CASE WHEN e2.elt1 >= 100
+                                        THEN struct_pack(elt1 := e2.elt1, elt2 := 'SET')
+                                        ELSE e2 END))
+                ELSE e END)
+         ELSE keys END AS keys
+  FROM base
+),
+post_d AS (SELECT doc_id, """
+    + _NESTED_CANON_POST
+    + """ AS post_digest FROM post),
+base_d AS (SELECT doc_id, """
+    + _NESTED_CANON_POST
+    + """ AS restored_digest FROM base)
+SELECT b.doc_id, b.restored_digest, p2.post_digest
+FROM base_d b JOIN post_d p2 USING (doc_id)
+"""
+)
+
+
 def q_cdc_merge_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoR compaction through the driver gate (VERDICT r2 #7): after a
     merge-on-read replay leaves delta layers, compact() folds them into the
@@ -1552,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "no_update_skip": q_no_update_skip,
         "cdc_merge_compacted": q_cdc_merge_compacted,
         "lookup_pipeline": q_lookup_pipeline,
+        "nested_roundtrip": q_nested_roundtrip,
     }
 
 
@@ -1603,4 +1755,5 @@ def oracle_sql() -> dict[str, str]:
         "no_update_skip": _NO_UPDATE_SKIP_ORACLE,
         "cdc_merge_compacted": _CDC_ORACLE,
         "lookup_pipeline": _LOOKUP_PIPELINE_ORACLE,
+        "nested_roundtrip": _NESTED_ROUNDTRIP_ORACLE,
     }

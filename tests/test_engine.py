@@ -391,3 +391,83 @@ def test_shipped_rollback_assert_utility(spark, warehouse):
     m = mig(spark, warehouse, update={"source": "UTIL"})
     m.update()
     do_rollback_and_assert_initial_state(m, spark, initial)
+
+
+NESTED_SCHEMA = (
+    "doc_id string, "
+    "meta struct<owner: string, ver: int>, "
+    "keys array<struct<subKey1: string, subKey2: array<struct<elt1: int, elt2: string>>>>"
+)
+
+
+def _nested_rows(n=12):
+    rows = []
+    for i in range(n):
+        keys = []
+        for j in range(i % 3 + 1):
+            sub = [
+                {"elt1": 55 + 45 * j + 50 * k, "elt2": f"e{k}"}
+                for k in range((i + j) % 2 + 1)
+            ]
+            keys.append(
+                {"subKey1": "match_me" if j % 3 == 0 else f"k{j}", "subKey2": sub}
+            )
+        rows.append(
+            {
+                "doc_id": f"doc{i:08d}",
+                "meta": {"owner": f"u{i % 7}", "ver": i % 5},
+                "keys": keys,
+            }
+        )
+    return rows
+
+
+def test_nested_struct_engine_roundtrip(spark, warehouse):
+    """M1/M2/M5 at the ENGINE level (VERDICT r2 #3): struct + array<struct>
+    columns migrate (nested $set, struct-leaf $unset, two-level filtered
+    positional $[e].$[e2] set) -> full pre-image backup -> changelog-path
+    rollback restores the exact nested state (rollback.test.ts:997-1106)."""
+    from mongo_bulk_data_migration_spark.functions.nested import set_path, set_where
+
+    from pyspark.sql import types as T
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("nested", T.StructType.fromDDL(NESTED_SCHEMA), num_buckets=4)
+    t.append(spark.createDataFrame(_nested_rows(), NESTED_SCHEMA))
+    initial = rows_of(t.read(spark))
+
+    new_meta = set_path(
+        set_path(F.col("meta"), "ver", (F.col("meta.ver") + 1).cast("int")),
+        "owner", F.lit(None).cast("string"),  # typed $unset of a struct leaf
+    )
+    new_keys = set_where(
+        F.col("keys"),
+        lambda e: e["subKey1"] == "match_me",
+        lambda e: e.withField(
+            "subKey2",
+            set_where(
+                e["subKey2"],
+                lambda e2: e2["elt1"] >= 100,
+                lambda e2: e2.withField("elt2", F.lit("SET")),
+            ),
+        ),
+    )
+    cfg = DataMigrationConfig(
+        warehouse=warehouse, collection_name="nested", id="nst",
+        query="meta.ver < 4", update={"meta": new_meta, "keys": new_keys},
+    )
+    m = MongoBulkDataMigrationSpark(spark, cfg)
+    res = m.update()
+    assert res["nModified"] == res["nBackups"] > 0
+
+    got = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    # doc 1: ver 1 -> 2, owner unset, j=0 is match_me with elt1 in {55,105}
+    assert got["doc00000001"]["meta"] == {"owner": None, "ver": 2}
+    assert got["doc00000001"]["keys"][0]["subKey2"][1]["elt2"] == "SET"
+    assert got["doc00000001"]["keys"][0]["subKey2"][0]["elt2"] == "e0"  # < 100 untouched
+    # doc 4: ver 4 -> query miss, fully untouched
+    assert got["doc00000004"] == {r["doc_id"]: r for r in initial}["doc00000004"]
+
+    t.commit_marker({}, operation="foreign-touch")  # force the changelog path
+    m.rollback()
+    assert rows_of(cat.load_table("nested").read(spark)) == initial
