@@ -43,8 +43,11 @@ _MIX = 2654435761
 _VOCAB = 50257
 
 
-def _cdc_frames(spark: SparkSession, sf_dir: str):
-    """Derive (sequences, events) deterministically from documents count."""
+def _cdc_frames(spark: SparkSession, sf_dir: str, hot_keys: bool = False):
+    """Derive (sequences, events) deterministically from documents count.
+
+    ``hot_keys=True`` routes 30% of all events to doc 0 (a single Zipf-head
+    hot key) — the north rule's skewed-doc_id stress shape."""
     n_docs = _t(spark, sf_dir, "documents").count()
     n_events = 2 * n_docs
     id_space = n_docs + n_docs // 4
@@ -67,6 +70,8 @@ def _cdc_frames(spark: SparkSession, sf_dir: str):
 
     ev = spark.range(0, n_events, 1, 8)
     idx = F.pmod(F.col("id") * _MIX + 12345, F.lit(id_space))
+    if hot_keys:
+        idx = F.when(F.pmod(F.col("id"), F.lit(10)) < 3, F.lit(0)).otherwise(idx)
     op = (
         F.when(idx >= n_docs, F.lit("insert"))
         .when(F.pmod(F.col("id"), F.lit(10)) < 8, F.lit("update"))
@@ -1470,6 +1475,91 @@ FROM seqs
 )
 
 
+def q_cdc_merge_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key CDC replay with SALTED last-wins collapse: 30% of all events
+    hit one doc_id (Zipf head), and the replayer runs with dedup_salt=8 —
+    the two-phase salted collapse (partial max_by per (key, salt), then the
+    tiny per-key final) that keeps a 10^10-event hot key from funneling one
+    reducer.  Must produce the byte-identical table the unsalted algebra
+    defines (same oracle shape, skewed idx)."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import Catalog, MigrationOptions
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir, hot_keys=True)
+    wh = tempfile.mkdtemp(prefix="mbdm_skew_")
+    cat = Catalog(wh)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=16)
+    t.append(seqs)
+    rep = ChangeStreamReplayer(
+        spark, wh, "sequences", "skew", evolve_schema=False,
+        options=MigrationOptions(dedup_salt=8),
+    )
+    rep.apply_changes(events, events_per_batch=max(n_events, 1))
+    return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
+
+
+_CDC_SKEW_ORACLE = _CDC_ORACLE.replace(
+    "SELECT e AS seq,\n"
+    "         (e * 2654435761 + 12345) % (SELECT n_docs + n_docs // 4 FROM p) AS idx",
+    "SELECT e AS seq,\n"
+    "         CASE WHEN e % 10 < 3 THEN 0\n"
+    "              ELSE (e * 2654435761 + 12345) % (SELECT n_docs + n_docs // 4 FROM p)\n"
+    "         END AS idx",
+)
+assert _CDC_SKEW_ORACLE != _CDC_ORACLE  # replace() must have matched
+
+
+def q_pandas_callback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4's ARBITRARY-callback tier through the engine: the update spec is a
+    whole-batch callable whose token transform runs as an Arrow-vectorized
+    pandas UDF (`functions/tokens.py:pandas_transform_udf` — the reference's
+    per-row async `update(doc)` callback re-expressed columnar, no per-row
+    Python).  Here: keep only even tokens for docs matching the predicate;
+    the oracle reproduces it with list_filter."""
+    _utc(spark)
+    import numpy as np
+
+    from mongo_bulk_data_migration_spark import (
+        DataMigrationConfig,
+        MongoBulkDataMigrationSpark,
+    )
+    from mongo_bulk_data_migration_spark.functions.tokens import pandas_transform_udf
+
+    wh, cat, t, _, _ = _seed_sequences(spark, sf_dir, "mbdm_pudf_")
+
+    keep_even = pandas_transform_udf(
+        lambda s: s.map(lambda a: (lambda v: v[v % 2 == 0])(np.asarray(a, dtype=np.int32)))
+    )
+    cfg = DataMigrationConfig(
+        warehouse=wh, collection_name="sequences", id="pudf",
+        query="n_tok % 3 = 1",
+        update=lambda df: df.withColumn("tokens", keep_even(F.col("tokens"))).withColumn(
+            "n_tok", F.size("tokens").cast("int")
+        ),
+    )
+    r = MongoBulkDataMigrationSpark(spark, cfg).update()
+    assert r["nModified"] > 0
+    return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
+
+
+_PANDAS_CALLBACK_ORACLE = (
+    _SEQS_CTE
+    + """
+SELECT doc_id,
+       md5(array_to_string(CASE WHEN n_tok % 3 = 1
+                                THEN list_filter(tokens, t -> t % 2 = 0)
+                                ELSE tokens END::INT[], ',')) AS tokens_md5,
+       CASE WHEN n_tok % 3 = 1
+            THEN len(list_filter(tokens, t -> t % 2 = 0))::INT
+            ELSE n_tok END AS n_tok,
+       source
+FROM seqs
+"""
+)
+
+
 def q_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M2/M5 engine-stateful over NESTED columns (VERDICT r2 #3): a table
     with struct + array<struct> columns is migrated with a nested $set
@@ -1704,6 +1794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_compacted": q_cdc_merge_compacted,
         "lookup_pipeline": q_lookup_pipeline,
         "nested_roundtrip": q_nested_roundtrip,
+        "cdc_merge_skew": q_cdc_merge_skew,
+        "pandas_callback": q_pandas_callback,
     }
 
 
@@ -1756,4 +1848,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_compacted": _CDC_ORACLE,
         "lookup_pipeline": _LOOKUP_PIPELINE_ORACLE,
         "nested_roundtrip": _NESTED_ROUNDTRIP_ORACLE,
+        "cdc_merge_skew": _CDC_SKEW_ORACLE,
+        "pandas_callback": _PANDAS_CALLBACK_ORACLE,
     }
