@@ -1475,6 +1475,56 @@ FROM seqs
 )
 
 
+def q_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3+S6 engine-stateful: DELETE_OPERATION removes the matching rows
+    (full projected pre-image backed up, `update.test.ts:675-695`), then a
+    changelog-path rollback re-INSERTS exactly the deleted docs (the
+    restore-insert sink, `RollbackBulk.ts:34-37`, `rollback.test.ts:238-266`;
+    forced off the time-travel fast path by a foreign commit).  Returns the
+    restored table plus a per-doc `survived_delete` flag captured from the
+    mid-state — both oracle-predicted."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import (
+        DELETE_OPERATION,
+        DataMigrationConfig,
+        MongoBulkDataMigrationSpark,
+    )
+
+    wh, cat, t, _, _ = _seed_sequences(spark, sf_dir, "mbdm_delop_")
+    cfg = DataMigrationConfig(
+        warehouse=wh, collection_name="sequences", id="delop",
+        query="n_tok % 5 = 2", update=DELETE_OPERATION,
+    )
+    eng = MongoBulkDataMigrationSpark(spark, cfg)
+    r = eng.update()
+    assert r["nRemoved"] == r["nBackups"] > 0
+    mid_path = os.path.join(wh, "_mid_keys")
+    t.read(spark).select("doc_id", F.lit(True).alias("survived_delete")).write.parquet(mid_path)
+    t.commit_marker({}, operation="foreign-touch")  # force changelog replay
+    eng.rollback()
+    return (
+        t.read(spark)
+        .join(spark.read.parquet(mid_path), "doc_id", "left")
+        .select(
+            "doc_id", _tokens_digest("tokens"), "n_tok", "source",
+            F.coalesce(F.col("survived_delete"), F.lit(False)).alias("survived_delete"),
+        )
+    )
+
+
+_DELETE_RESTORE_ORACLE = (
+    _SEQS_CTE
+    + """
+SELECT doc_id,
+       md5(array_to_string(tokens::INT[], ',')) AS tokens_md5,
+       n_tok,
+       source,
+       (n_tok % 5 <> 2) AS survived_delete
+FROM seqs
+"""
+)
+
+
 def q_cdc_merge_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key CDC replay with SALTED last-wins collapse: 30% of all events
     hit one doc_id (Zipf head), and the replayer runs with dedup_salt=8 —
@@ -1796,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_roundtrip": q_nested_roundtrip,
         "cdc_merge_skew": q_cdc_merge_skew,
         "pandas_callback": q_pandas_callback,
+        "delete_restore": q_delete_restore,
     }
 
 
@@ -1850,4 +1901,5 @@ def oracle_sql() -> dict[str, str]:
         "nested_roundtrip": _NESTED_ROUNDTRIP_ORACLE,
         "cdc_merge_skew": _CDC_SKEW_ORACLE,
         "pandas_callback": _PANDAS_CALLBACK_ORACLE,
+        "delete_restore": _DELETE_RESTORE_ORACLE,
     }
