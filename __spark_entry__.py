@@ -1475,6 +1475,117 @@ FROM seqs
 )
 
 
+def q_projection_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 engine-stateful: what is fetched-and-projected is what is
+    backed up and therefore restorable ("Whatever is fetched and projected
+    is what is saved as backup", reference README.md:18;
+    `rollback.test.ts:110-160`).  The migration projects all three data
+    columns but backs up only (tokens, n_tok) via projection_backup_filter;
+    an out-of-band writer then changes `source` everywhere; rollback
+    restores tokens/n_tok to the pre-image while `source` keeps the
+    in-between value.  Mid-state and final state are both oracle-predicted."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import (
+        DataMigrationConfig,
+        MigrationOptions,
+        MongoBulkDataMigrationSpark,
+    )
+
+    wh, cat, t, _, _ = _seed_sequences(spark, sf_dir, "mbdm_proj_")
+    cfg = DataMigrationConfig(
+        warehouse=wh, collection_name="sequences", id="proj",
+        query="n_tok % 4 = 1",
+        projection=["tokens", "n_tok", "source"],
+        update={
+            "tokens": F.slice(F.col("tokens"), 1, 3),
+            "n_tok": F.least(F.col("n_tok"), F.lit(3)).cast("int"),
+            "source": F.lit("MIG"),
+        },
+        options=MigrationOptions(projection_backup_filter=["tokens", "n_tok"]),
+    )
+    eng = MongoBulkDataMigrationSpark(spark, cfg)
+    assert eng.update()["nModified"] > 0
+    mid_digest = F.md5(
+        F.concat_ws("|", F.concat_ws(",", F.col("tokens").cast("array<string>")),
+                    F.col("n_tok").cast("string"), F.coalesce(F.col("source"), F.lit("~")))
+    )
+    mid_path = os.path.join(wh, "_mid")
+    t.read(spark).select("doc_id", mid_digest.alias("mid_digest")).write.parquet(mid_path)
+
+    # out-of-band write between update and rollback (its own migration id)
+    oob = MongoBulkDataMigrationSpark(
+        spark,
+        DataMigrationConfig(
+            warehouse=wh, collection_name="sequences", id="oob",
+            update={"source": F.lit("OOB")},
+        ),
+    )
+    assert oob.update()["nModified"] > 0
+
+    eng.rollback()  # restores tokens/n_tok only; source keeps OOB
+    return (
+        t.read(spark)
+        .join(spark.read.parquet(mid_path), "doc_id")
+        .select("doc_id", "mid_digest", _tokens_digest("tokens"), "n_tok", "source")
+    )
+
+
+_PROJECTION_SCOPE_ORACLE = (
+    _SEQS_CTE
+    + """
+SELECT doc_id,
+       md5(concat_ws('|',
+           array_to_string(CASE WHEN n_tok % 4 = 1 THEN tokens[:3] ELSE tokens END::INT[], ','),
+           (CASE WHEN n_tok % 4 = 1 THEN least(n_tok, 3) ELSE n_tok END)::VARCHAR,
+           CASE WHEN n_tok % 4 = 1 THEN 'MIG' ELSE source END)) AS mid_digest,
+       md5(array_to_string(tokens::INT[], ',')) AS tokens_md5,
+       n_tok,
+       'OOB' AS source
+FROM seqs
+"""
+)
+
+
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 engine-stateful: continue_on_bulk_write_error routes malformed
+    events (here: every seq % 11 = 5 carries an unknown op) to the
+    dead-letter table and applies the REST of the batch
+    (`AbstractBulkOperationResults.ts:60-73`, `update.test.ts:415-444`).
+    The final table must equal the merge algebra over the VALID subset
+    only; the dead-letter count is asserted engine-side."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import Catalog, MigrationOptions
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    events = events.withColumn(
+        "op",
+        F.when(F.pmod(F.col("seq"), F.lit(11)) == 5, F.lit("frobnicate")).otherwise(
+            F.col("op")
+        ),
+    )
+    wh = tempfile.mkdtemp(prefix="mbdm_dl_")
+    cat = Catalog(wh)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=16)
+    t.append(seqs)
+    rep = ChangeStreamReplayer(
+        spark, wh, "sequences", "dl", evolve_schema=False,
+        options=MigrationOptions(continue_on_bulk_write_error=True),
+    )
+    ms = rep.apply_changes(events, events_per_batch=max(n_events, 1))
+    n_dead = sum(m["n_dead_lettered"] for m in ms)
+    assert n_dead == events.where("seq % 11 = 5").count() > 0
+    return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
+
+
+_DEAD_LETTER_ORACLE = _CDC_ORACLE.replace(
+    "    FROM events) WHERE rn = 1",
+    "    FROM events WHERE seq % 11 <> 5) WHERE rn = 1",
+)
+assert _DEAD_LETTER_ORACLE != _CDC_ORACLE
+
+
 def q_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3+S6 engine-stateful: DELETE_OPERATION removes the matching rows
     (full projected pre-image backed up, `update.test.ts:675-695`), then a
@@ -1847,6 +1958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_skew": q_cdc_merge_skew,
         "pandas_callback": q_pandas_callback,
         "delete_restore": q_delete_restore,
+        "projection_scope": q_projection_scope,
+        "dead_letter": q_dead_letter,
     }
 
 
@@ -1902,4 +2015,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_skew": _CDC_SKEW_ORACLE,
         "pandas_callback": _PANDAS_CALLBACK_ORACLE,
         "delete_restore": _DELETE_RESTORE_ORACLE,
+        "projection_scope": _PROJECTION_SCOPE_ORACLE,
+        "dead_letter": _DEAD_LETTER_ORACLE,
     }

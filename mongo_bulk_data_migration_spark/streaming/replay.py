@@ -337,14 +337,19 @@ class ChangeStreamReplayer:
 
     def _dead_letter(self, batch: DataFrame, batch_id: int):
         """Split malformed events out to `<warehouse>/_state/deadletter_<id>/`."""
+        # NULL-safe comparisons throughout: a delete event carries NULL
+        # transform and NULL tokens, and `~(col == lit)` is NULL (not true)
+        # for NULL input — with plain equality such rows satisfied NEITHER
+        # where(valid) NOR where(~valid) and silently vanished from the
+        # batch (caught by the `dead_letter` driver oracle, round 3)
         valid = (
             F.col("op").isin("insert", "update", "delete")
-            & (~(F.col("op") == "insert") | F.col("tokens").isNotNull())
+            & (~F.col("op").eqNullSafe("insert") | F.col("tokens").isNotNull())
             & (
                 F.col("transform").isNull()
                 | F.col("transform").rlike(VALID_TRANSFORM_RE)
             )
-            & (~(F.col("transform") == "set_tokens") | F.col("tokens").isNotNull())
+            & (~F.col("transform").eqNullSafe("set_tokens") | F.col("tokens").isNotNull())
         )
         bad = batch.where(~valid)
         n_bad = bad.count()

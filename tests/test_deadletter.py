@@ -54,6 +54,31 @@ def test_dead_letter_routing(spark, warehouse):
     }
 
 
+def test_delete_events_survive_continue_on_error(spark, warehouse):
+    """r3 regression (caught by the dead_letter driver oracle): a delete
+    event carries NULL transform/tokens, and non-null-safe equality in the
+    validity predicate made it satisfy neither where(valid) nor
+    where(~valid) — silently dropped instead of applied."""
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(spark.createDataFrame(make_sequences(5), SEQUENCES_SCHEMA))
+    ev = [
+        dict(seq=0, part=0, op="delete", doc_id="doc00000002", tokens=None,
+             transform=None, source=None, extra=None),          # valid delete
+        dict(seq=1, part=0, op="bogus", doc_id="doc00000003", tokens=None,
+             transform=None, source=None, extra=None),          # dead-lettered
+    ]
+    rep = ChangeStreamReplayer(
+        spark, warehouse, "seq", "dl0",
+        options=MigrationOptions(continue_on_bulk_write_error=True),
+    )
+    ms = rep.apply_changes(spark.createDataFrame(ev, CHANGES_SCHEMA), events_per_batch=10)
+    assert ms[0]["n_dead_lettered"] == 1
+    got = {r["doc_id"] for r in rows_of(cat.load_table("seq").read(spark))}
+    assert "doc00000002" not in got  # the delete APPLIED
+    assert len(got) == 4
+
+
 def test_all_dead_batch_advances_hwm_no_livelock(spark, warehouse):
     """ADVICE r2 regression: a batch whose events are ALL dead-lettered must
     still advance the HWM — otherwise every later run re-filters and
