@@ -1,0 +1,112 @@
+"""Physical-plan contracts: the scale properties the engine is designed
+around, pinned so a refactor cannot silently regress them.
+
+Each test asserts on `explain(formatted)` output — the same audit the
+100 TB design review does by hand: filters reach the parquet scan, column
+pruning holds, small sides broadcast, and no operator funnels through a
+single-task global sort.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF, "lineitem.parquet")),
+    reason="driver testdata not present",
+)
+
+
+def formatted(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+@needs_testdata
+def test_filter_project_pushdown_and_pruning(spark):
+    """S1: predicate pushdown + column pruning reach the parquet scan."""
+    import __spark_entry__ as E
+
+    plan = formatted(E.q_filter_project(spark, SF))
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    # pruned read: the scan schema must not include unprojected wide columns
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas and all("l_comment" not in s for s in scan_schemas)
+
+
+@needs_testdata
+def test_lookup_subpipeline_pushdown_and_broadcast(spark):
+    """J1 + sub-pipeline: the right_pipeline filter is pushed into the right
+    scan, the aggregated right side broadcasts, and the left side is NEVER
+    shuffled (no exchange between the left scan and the join)."""
+    import __spark_entry__ as E
+
+    plan = formatted(E.q_lookup_pipeline(spark, SF))
+    assert "EqualTo(o_orderstatus,O)" in plan
+    assert "BroadcastHashJoin" in plan
+    # left side feeds the join directly: exactly one (right-side) hash
+    # exchange plus the broadcast exchange, nothing repartitioning customer
+    tree = plan.split("\n\n")[0]  # the operator tree, before the details
+    n_shuffles = tree.count("- Exchange")
+    assert n_shuffles == 1, f"expected 1 shuffle (right pre-agg), saw {n_shuffles}\n{tree}"
+
+
+def test_split_batches_window_is_partitioned(spark, tmp_path):
+    """VERDICT r2 #6 contract: batch-boundary ranking must never plan a
+    global (SinglePartition) sort — the window is partitioned by the staged
+    range-partition id."""
+    from pyspark.sql import Window
+
+    scratch = str(tmp_path / "staged")
+    (
+        spark.range(0, 5000)
+        .select(F.format_string("doc%08d", "id").alias("doc_id"))
+        .repartitionByRange(4, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .write.parquet(scratch)
+    )
+    staged = spark.read.parquet(scratch)
+    rn = F.row_number().over(Window.partitionBy("__pid").orderBy("doc_id"))
+    plan = formatted(staged.withColumn("__rn", rn).where(F.col("__rn") == 1).select("doc_id"))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_merge_broadcast_path_no_target_shuffle(spark, tmp_path):
+    """S4/J2: in broadcast strategy the TARGET side of the merge join must
+    not be exchanged — the batch-bounded source broadcasts instead."""
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.operators.merge import build_merge_plan
+    from mongo_bulk_data_migration_spark.sources.fixtures import (
+        SEQUENCES_SCHEMA,
+        make_sequences,
+        sequences_spark,
+    )
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(wh)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(sequences_spark(spark, 50))
+    src = (
+        sequences_spark(spark, 10)
+        .withColumn("__op", F.lit("put"))
+    )
+    plan = build_merge_plan(t, spark, src, strategy="broadcast")
+    try:
+        text = formatted(plan.result)
+        assert "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" not in text
+        # the carried-over (untouched) rows flow scan -> union -> write with
+        # no hashpartitioning exchange on the target scan branch
+        assert "SortMergeJoin" not in text
+    finally:
+        plan.release()
