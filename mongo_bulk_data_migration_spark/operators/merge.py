@@ -320,12 +320,29 @@ def build_merge_plan(
     # consumer (changelog: pre cols; merge: new cols; key set: key+op) then
     # reads a column-pruned slice instead of decoding cached nested rows —
     # array-heavy columns through InMemoryRelation are a known slow path.
+    #
+    # Write-volume discipline (matters most for the shuffle strategy, whose
+    # full-outer join also carries every UNtouched row of the touched
+    # buckets): pre-image columns are nulled for op-NULL carryover rows and
+    # merged-value columns for delete rows — neither slice is ever read
+    # downstream (pre consumers filter op IS NOT NULL; result/delta filter
+    # deletes out), and parquet encodes the nulls as RLE definition levels,
+    # so carryover rows cost ~1x row width instead of 2x.  At a 100 TB /
+    # low-touch-fraction batch that halves the dominant scratch write.
     combined_plan = joined.select(
         F.coalesce(F.col(key), F.col(_SKEY)).alias(key),
         F.col(OP_COL),
         matched.alias("__matched"),
-        *[F.col(c).alias(f"__pre_{c}") for c in data_cols if c != key],
-        *[merged_value(c, matched).alias(f"__new_{c}") for c in data_cols if c != key],
+        *[
+            F.when(op.isNotNull(), F.col(c)).alias(f"__pre_{c}")
+            for c in data_cols
+            if c != key
+        ],
+        *[
+            F.when(~op.eqNullSafe("delete"), merged_value(c, matched)).alias(f"__new_{c}")
+            for c in data_cols
+            if c != key
+        ],
         *[F.col(f"__c_{c}").alias(f"__{c}") for c in carry_cols],
     )
     combined_plan.write.mode("overwrite").option("compression", "uncompressed").parquet(
