@@ -216,3 +216,38 @@ def test_merge_on_read_op_matrix(spark, warehouse):
     assert t.delta_layers() == 0
     after_c = sorted((r["doc_id"], tuple(r["tokens"] or [])) for r in rows_of(t.read(spark)))
     assert after_c == before
+
+
+def test_combined_scratch_nulls_unread_slices(spark, warehouse):
+    """Write-volume contract of the single-pass combined staging: pre-image
+    columns are NULL for op-NULL carryover rows (shuffle full-outer join) and
+    merged-value columns are NULL for delete rows — those slices are never
+    read downstream, and nulling keeps the dominant scratch write at ~1x row
+    width for untouched rows instead of 2x (the 100 TB discipline)."""
+    t = make_table(spark, warehouse, n=20, buckets=1)  # 1 bucket: all carried rows join in
+    rows = [
+        ("doc00000001", "update", [7], 1, None),
+        ("doc00000002", "delete", None, None, None),
+    ]
+    plan = build_merge_plan(
+        t, spark, src_df(spark, rows), update_cols=["tokens", "n_tok"], strategy="shuffle"
+    )
+    combined = {r["doc_id"]: r for r in rows_of(plan.combined)}
+    # carryover row (no event): merged value kept, pre-image nulled
+    carry = combined["doc00000003"]
+    assert carry["__op"] is None
+    assert carry["__pre_tokens"] is None and carry["__pre_n_tok"] is None
+    assert carry["__new_tokens"] is not None
+    # delete row: pre-image kept (changelog reads it), merged value nulled
+    dele = combined["doc00000002"]
+    assert dele["__pre_tokens"] is not None
+    assert dele["__new_tokens"] is None and dele["__new_n_tok"] is None
+    # updated row keeps both
+    upd = combined["doc00000001"]
+    assert upd["__pre_tokens"] is not None and upd["__new_tokens"] == [7]
+    run_merge(t, plan)
+    plan.release()
+    after = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    assert after["doc00000003"]["tokens"] is not None  # carryover survived
+    assert "doc00000002" not in after
+    assert after["doc00000001"]["tokens"] == [7]

@@ -91,3 +91,56 @@ def test_spark_submit_replay_resume_rollback(spark, tmp_path):
     assert set(got) == set(init)
     for k, w in init.items():
         assert got[k]["tokens"] == w["tokens"]
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_multi_executor_cluster(spark, tmp_path):
+    """The north-rule deployment shape on a REAL multi-executor topology:
+    `local-cluster[2,1,1024]` spawns two separate worker JVMs, so --py-files
+    distribution, task serialization, broadcast, and shuffle all cross
+    process boundaries exactly as on a standalone/YARN cluster — local[N]
+    cannot exercise any of that.  The applied state must match the oracle
+    simulator, same as the single-JVM path."""
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.simulator import OracleSimulator
+    from mongo_bulk_data_migration_spark.sources.fixtures import (
+        CHANGES_SCHEMA,
+        SEQUENCES_SCHEMA,
+        make_changes,
+        make_sequences,
+    )
+
+    from conftest import rows_of
+
+    wh = str(tmp_path / "whc")
+    cat = Catalog(wh)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    rows = make_sequences(30)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+    events = make_changes(30, 80, n_parts=4, n_batches=2)
+    ev_dir = str(tmp_path / "events_c")
+    spark.createDataFrame(events, CHANGES_SCHEMA).write.parquet(ev_dir)
+
+    cmd = [
+        SPARK_SUBMIT, "--master", "local-cluster[2,1,1024]",
+        "--conf", "spark.sql.shuffle.partitions=2",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.executor.memory=1g",
+        "--py-files", _zip_pkg(tmp_path),
+        os.path.join(REPO, "jobs", "replay_job.py"),
+        "--warehouse", wh, "--table", "seq", "--migration-id", "subc1",
+        "--events", ev_dir, "--events-per-batch", "40",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["batches"] == 2 and out["events"] == 80
+
+    sim = OracleSimulator(rows)
+    for b in range(2):
+        sim.apply_batch([e for e in events if e["seq"] // 40 == b])
+    got = {r["doc_id"]: r for r in rows_of(cat.load_table("seq").read(spark))}
+    want = {r["doc_id"]: r for r in sim.rows()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["tokens"] == w["tokens"]
