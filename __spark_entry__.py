@@ -722,6 +722,85 @@ SELECT doc_id, {expr} AS lang_pred FROM w
 """
 
 
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters: duplicate-word and
+    duplicate-2gram fractions + keep decision.  All JVM higher-order
+    functions (split / array_distinct / transform over sequence) — no
+    explode, no shuffle, embarrassingly parallel at 100 TB."""
+    from mongo_bulk_data_migration_spark.functions.text import (
+        dup_2gram_frac,
+        dup_word_frac,
+        repetition_keep,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        dup_word_frac(F.col("text")).alias("dup_word_frac"),
+        dup_2gram_frac(F.col("text")).alias("dup_2gram_frac"),
+        repetition_keep(F.col("text")).alias("keep"),
+    )
+
+
+_GOPHER_FILTERS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+    round(1.0 - len(list_distinct(ws)) / greatest(len(ws), 1), 6) AS dwf,
+    CASE WHEN len(ws) < 2 THEN 0.0 ELSE
+      round(1.0 - len(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1]))) / (len(ws) - 1), 6)
+    END AS d2f
+  FROM w
+)
+SELECT doc_id, dwf AS dup_word_frac, d2f AS dup_2gram_frac,
+       (dwf <= 0.98 AND d2f <= 0.6) AS keep
+FROM g
+"""
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (window 32 tokens, stride 24)
+    for long-document embedding / fine-tune pipelines.  Row-local arithmetic
+    + explode — no shuffle, preserves partition placement."""
+    from mongo_bulk_data_migration_spark.operators.packing import chunk_windows
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok")
+    )
+    return chunk_windows(d, "n_tok", window=32, stride=24).select(
+        "doc_id", "n_tok", "chunk_id", "chunk_start", "chunk_len"
+    )
+
+
+_CHUNK_WINDOWS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok FROM documents
+),
+c AS (
+  SELECT *, CASE WHEN n_tok <= 32 THEN 1
+                 ELSE ((n_tok - 32 + 23) // 24) + 1 END AS n_chunks
+  FROM d
+)
+SELECT doc_id, n_tok::INT AS n_tok,
+       unnest(generate_series(0, n_chunks - 1))::INT AS chunk_id
+FROM c
+"""
+
+
+def _chunk_windows_oracle() -> str:
+    # derive start/len from chunk_id in an outer select (unnest cannot be
+    # referenced twice in one projection)
+    return f"""
+WITH base AS ({_CHUNK_WINDOWS_ORACLE})
+SELECT doc_id, n_tok, chunk_id,
+       (chunk_id * 24)::INT AS chunk_start,
+       least(32, n_tok - chunk_id * 24)::INT AS chunk_len
+FROM base
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo_bulk_data_migration_spark.functions.text import fingerprint
 
@@ -1931,6 +2010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "gopher_filters": q_gopher_filters,
+        "chunk_windows": q_chunk_windows,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_bands": q_minhash_bands,
@@ -1986,6 +2067,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _TOKEN_COUNT_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "lang_id": _lang_id_oracle(),
+        "gopher_filters": _GOPHER_FILTERS_ORACLE,
+        "chunk_windows": _chunk_windows_oracle(),
         "fingerprint": _FINGERPRINT_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "minhash_bands": _MINHASH_BANDS_ORACLE,

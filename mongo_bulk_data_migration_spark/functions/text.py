@@ -113,6 +113,39 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def dup_word_frac(text: Column) -> Column:
+    """Fraction of word occurrences that are repeats of an earlier word —
+    the Gopher-style within-document repetition signal (word granularity).
+    Pure JVM (split + array_distinct), codegen'd."""
+    ws = words(text)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(ws)) / F.greatest(F.size(ws), F.lit(1)), 6
+    )
+
+
+def dup_2gram_frac(text: Column) -> Column:
+    """Fraction of word-2gram occurrences that are duplicates (Gopher's
+    dup-ngram filter at n=2).  Built from sequence+transform higher-order
+    functions — no explode, no shuffle, O(words) per row."""
+    ws = words(text)
+    n = F.size(ws)
+    # guard: sequence(0, -1) would be a DESCENDING range, not empty
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    )
+    return F.when(n < 2, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / (n - 1), 6)
+    )
+
+
+def repetition_keep(text: Column) -> Column:
+    """Gopher-style keep decision from the repetition signals (thresholds
+    deterministic; tuned for the synthetic small-vocab corpus where natural
+    repetition is high)."""
+    return (dup_word_frac(text) <= 0.98) & (dup_2gram_frac(text) <= 0.6)
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text —
     the exact-dedup key (reference analog: content hash)."""

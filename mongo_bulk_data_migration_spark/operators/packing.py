@@ -73,3 +73,32 @@ def pack_sequences(
     return out.withColumn("pack_id", F.floor(start / F.lit(ctx))).withColumn(
         "pack_offset", (start % F.lit(ctx)).cast("int")
     ).drop("__shard", "__local_cum", "__shard_prefix")
+
+
+def chunk_windows(
+    df: DataFrame,
+    n_tok_col: str,
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split each document's token span into overlapping context windows
+    (window ``window`` tokens, step ``stride``) — the standard long-document
+    chunking pass before embedding / fine-tune tokenization.
+
+    One output row per (doc, chunk): ``chunk_id``, ``chunk_start`` (token
+    offset), ``chunk_len`` (= window except for the final tail chunk, which
+    is shorter but always covers the document end).  Purely row-local
+    arithmetic + explode: no shuffle, no Python — scales linearly and keeps
+    the document's partition placement (embarrassingly parallel at 100 TB).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    n = F.col(n_tok_col)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - window + stride - 1) / stride).cast("int") + 1
+    )
+    out = df.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    start = F.col("chunk_id") * stride
+    return out.withColumn("chunk_start", start.cast("int")).withColumn(
+        "chunk_len", F.least(F.lit(window), n - start).cast("int")
+    )

@@ -359,3 +359,62 @@ def test_contaminated_docs_broadcast_semi_join(spark):
     )
     got = {r["doc_id"] for r in contaminated_docs(corpus, bench, k=20).collect()}
     assert got == {1}
+
+
+def test_repetition_metrics(spark):
+    """dup_word_frac / dup_2gram_frac against hand-computed references,
+    including the 1-word and empty-ish edge cases (sequence(0,-1) guard)."""
+    from mongo_bulk_data_migration_spark.functions.text import (
+        dup_2gram_frac,
+        dup_word_frac,
+        repetition_keep,
+    )
+
+    rows = [
+        (0, "a b a b a b"),          # words: 6, distinct 2 -> dwf 4/6
+        (1, "all words here differ"),  # dwf 0, d2f 0
+        (2, "solo"),                  # 1 word: d2f must be 0.0, not crash
+        (3, "x x x x"),               # dwf 3/4, 2grams all "x x" -> d2f 2/3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_word_frac(F.col("text")).alias("dwf"),
+            dup_2gram_frac(F.col("text")).alias("d2f"),
+            repetition_keep(F.col("text")).alias("keep"),
+        ).collect()
+    }
+    assert got[0]["dwf"] == round(1 - 2 / 6, 6)
+    # 2grams of doc 0: "a b","b a","a b","b a","a b" -> 5 grams, 2 distinct
+    assert got[0]["d2f"] == round(1 - 2 / 5, 6)
+    assert got[1]["dwf"] == 0.0 and got[1]["d2f"] == 0.0 and got[1]["keep"]
+    assert got[2]["d2f"] == 0.0
+    assert got[3]["dwf"] == 0.75 and got[3]["d2f"] == round(1 - 1 / 3, 6)
+    assert not got[3]["keep"]  # d2f 0.667 > 0.6
+
+
+def test_chunk_windows_shapes(spark):
+    """Overlapping chunking: full coverage, tail chunk shorter, no shuffle."""
+    from mongo_bulk_data_migration_spark.operators.packing import chunk_windows
+
+    df = spark.createDataFrame(
+        [(0, 128), (1, 129), (2, 1), (3, 320), (4, 0)], ["doc_id", "n_tok"]
+    )
+    out = chunk_windows(df, "n_tok", window=128, stride=96)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["chunk_len"] == 128
+    assert len(by_doc[1]) == 2  # 129 tokens -> second window covers the tail
+    assert [r["chunk_start"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])] == [0, 96]
+    assert by_doc[1][1]["chunk_len"] == 129 - 96
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 1
+    # 320 tokens: ceil((320-128)/96)+1 = 3 chunks; last covers to the end
+    c3 = sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in c3] == [0, 96, 192]
+    assert c3[-1]["chunk_start"] + c3[-1]["chunk_len"] == 320
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["chunk_len"] == 0
+    # plan: no exchange — chunking must stay embarrassingly parallel
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
