@@ -50,6 +50,11 @@ DATA_DIR = "data"
 BUCKET_COL = "__b"
 DELETED_COL = "__deleted"  # tombstone flag inside merge-on-read delta files
 DSEQ_COL = "__dseq"        # delta layer sequence (later layers win per key)
+# MoR read: when the un-compacted delta layers measure below this, the
+# shadowed-base anti join broadcasts the delta key set instead of letting the
+# planner shuffle TB-scale base buckets (same measured-size principle as the
+# merge planner's auto broadcast/shuffle strategy; AQE only sees estimates).
+MOR_BROADCAST_BYTES = 64 << 20
 
 
 def bucket_expr(key_col: str, num_buckets: int):
@@ -279,7 +284,19 @@ class LakeTable:
             sb = spark.read.schema(snap.schema).parquet(
                 *[os.path.join(self.root, f["path"]) for f in shadowed]
             )
-            parts.append(sb.join(winners.select(key), key, "left_anti"))
+            anti_keys = winners.select(key)
+            try:
+                delta_bytes = sum(
+                    os.path.getsize(os.path.join(self.root, f["path"])) for f in delta
+                )
+            except OSError:
+                delta_bytes = None
+            if delta_bytes is not None and delta_bytes <= MOR_BROADCAST_BYTES:
+                # winners aggregates the deltas, so its key set is <= delta
+                # bytes: a safe broadcast that keeps the (possibly TB-scale)
+                # shadowed base scan shuffle-free and partition-local
+                anti_keys = F.broadcast(anti_keys)
+            parts.append(sb.join(anti_keys, key, "left_anti"))
         parts.append(live)
         out = parts[0]
         for p in parts[1:]:
