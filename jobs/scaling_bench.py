@@ -140,9 +140,15 @@ def main() -> None:
                          "0 disables the gate.")
     ap.add_argument("--window-wait-s", type=int, default=60)
     ap.add_argument("--window-max-waits", type=int, default=15)
+    ap.add_argument("--tag-commit", default=None,
+                    help="log pairs under this commit id instead of HEAD — "
+                         "ONLY for top-up pairs when the engine code is "
+                         "unchanged since that commit (docs/test-only commits "
+                         "in between); keeps one median group per measured "
+                         "engine version")
     args = ap.parse_args()
     n_events = args.docs * args.events_per_doc
-    commit = _git_commit()
+    commit = args.tag_commit or _git_commit()
 
     probe_note = ""
     if not args.n_cores and not args.report_only:
