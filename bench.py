@@ -112,6 +112,40 @@ def wait_for_window(per_core_mops: float, tag: str, gates: list[dict]) -> bool:
     return False
 
 
+class _LegSampler:
+    """During-run host-capacity sampler (mid-leg-shear instrument, same rule
+    as jobs/scaling_bench.py): the window gate only checks BEFORE a timed
+    leg, but the scheduler can collapse mid-replay (observed: pre-probes
+    195-216 Mops, end probe 69, attempts at 5.3k ev/s where a held window
+    measures 10-14k).  An 8-proc sub-second sample every ~45 s makes each
+    attempt classifiable as held/sheared in the artifact itself."""
+
+    N_PROC, WORK, INTERVAL_S = 8, 1_000_000, 45.0
+
+    def __init__(self) -> None:
+        import threading
+
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self.samples.append(_host_probe(self.N_PROC, self.WORK))
+            except Exception:
+                pass
+            self._stop.wait(self.INTERVAL_S)
+
+    def __enter__(self) -> "_LegSampler":
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._t.join(timeout=30)
+
+
 def _cdc_once(spark, n_docs: int, n_events: int, run_id: str) -> dict:
     from mongo_bulk_data_migration_spark import Catalog
     from mongo_bulk_data_migration_spark.sources.fixtures import (
@@ -132,9 +166,12 @@ def _cdc_once(spark, n_docs: int, n_events: int, run_id: str) -> dict:
         events = changes_df(spark, n_docs, n_events, n_parts=CPUS, parallelism=CPUS)
         rep = ChangeStreamReplayer(spark, wh, "sequences", run_id, evolve_schema=False)
         t1 = time.monotonic()
-        metrics = rep.apply_changes(events, events_per_batch=max(n_events // N_BATCHES, 1))
+        with _LegSampler() as sampler:
+            metrics = rep.apply_changes(events, events_per_batch=max(n_events // N_BATCHES, 1))
         replay_s = time.monotonic() - t1
+        during = [round(s, 1) for s in sampler.samples]
         return {
+            "during_probe_mops": during,
             "n_docs": n_docs,
             "n_events": n_events,
             "n_batches": len(metrics),
@@ -175,14 +212,23 @@ def bench_cdc(spark, per_core_mops: float, gates: list[dict]) -> dict:
     n_docs_base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
     n_docs = n_docs_base * DOCS_MULT
     n_events = n_docs * EVENTS_PER_DOC
+    # pre-registered during-run hold bar (same rule as scaling_bench): every
+    # mid-run 8-proc sample must stay above frac x the session's expected
+    # 8-proc capacity, else the attempt is marked sheared in the artifact
+    bar8 = round(GATE_FRAC * _expect_speedup(8) * per_core_mops, 1)
+
+    def _classify(a: dict) -> dict:
+        a["held"] = min(a.get("during_probe_mops") or [bar8]) >= bar8
+        a["held_bar_mops"] = bar8
+        return a
 
     wait_for_window(per_core_mops, "cdc-attempt-0", gates)
-    attempts = [_cdc_once(spark, n_docs, n_events, "bench")]
+    attempts = [_classify(_cdc_once(spark, n_docs, n_events, "bench"))]
     # the floor is calibrated for the sf0.1 benchmark scale; tiny inputs are
     # dominated by fixed per-batch protocol cost and never reach it
     if n_events >= 200_000 and attempts[0]["events_per_sec"] < RETRY_BELOW_EV_S:
         wait_for_window(per_core_mops, "cdc-attempt-1", gates)
-        attempts.append(_cdc_once(spark, n_docs, n_events, "bench2"))
+        attempts.append(_classify(_cdc_once(spark, n_docs, n_events, "bench2")))
         # mid-leg shear defense: the gate only checks BEFORE a leg, so a
         # window that collapses mid-replay can sink both attempts with
         # passing pre-probes (observed: pre-probes 138-189 Mops, end probe
@@ -192,9 +238,14 @@ def bench_cdc(spark, per_core_mops: float, gates: list[dict]) -> dict:
         # final gated attempt.
         if all(a["events_per_sec"] < RETRY_BELOW_EV_S for a in attempts):
             if wait_for_window(per_core_mops, "cdc-attempt-2", gates):
-                attempts.append(_cdc_once(spark, n_docs, n_events, "bench3"))
-    best = max(attempts, key=lambda a: a["events_per_sec"])
+                attempts.append(_classify(_cdc_once(spark, n_docs, n_events, "bench3")))
+    # prefer the best HELD attempt: a sheared attempt measured the
+    # scheduler's mid-run collapse, not the code (the shear is visible in
+    # its during_probe_mops either way)
+    held = [a for a in attempts if a.get("held")]
+    best = max(held or attempts, key=lambda a: a["events_per_sec"])
     best["attempts_events_per_sec"] = [a["events_per_sec"] for a in attempts]
+    best["attempts_held"] = [bool(a.get("held")) for a in attempts]
     return best
 
 
