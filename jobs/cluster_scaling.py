@@ -31,7 +31,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from scaling_bench import _git_commit, host_probe  # noqa: E402
+from scaling_bench import (  # noqa: E402
+    EIGHT_PROC_SPEEDUP,
+    LegSampler,
+    _git_commit,
+    host_probe,
+)
 
 SPARK_SUBMIT = os.path.join(
     os.path.dirname(os.path.dirname(shutil.which("python") or sys.executable)),
@@ -91,7 +96,12 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{n_exec - 1}"] + cmd
     t0 = time.monotonic()
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    sampler = LegSampler()
+    sampler.start()
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    finally:
+        during = sampler.stop()
     submit_wall = time.monotonic() - t0
     shutil.rmtree(wh, ignore_errors=True)
     if r.returncode != 0:
@@ -100,6 +110,7 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
     out = json.loads(r.stdout.strip().splitlines()[-1])
     out["n_exec"] = n_exec
     out["submit_wall_s"] = round(submit_wall, 2)
+    out["during_probe_mops"] = during
     return out
 
 
@@ -145,7 +156,17 @@ def main() -> None:
             r_4n = run_leg(tmp, zpath, wh0, ev_dir, xn, epb, f"p{i}x")
             p2 = host_probe()
             eff = (r_4n["events_per_sec"] / r_n["events_per_sec"]) / (xn / args.n_exec)
-            pair = {"n": r_n, "4n": r_4n, "eff": round(eff, 3), "probes": [p0, p1, p2]}
+            # pre-registered during-leg hold rule (same as scaling_bench)
+            bar8 = round(args.window_gate_frac * EIGHT_PROC_SPEEDUP * per_core, 1)
+            held = all(
+                min(leg.get("during_probe_mops") or [bar8]) >= bar8
+                for leg in (r_n, r_4n)
+            )
+            for leg in (r_n, r_4n):
+                leg["held"] = held
+                leg["held_bar_mops"] = bar8
+            pair = {"n": r_n, "4n": r_4n, "eff": round(eff, 3),
+                    "probes": [p0, p1, p2], "held": held}
             pairs.append(pair)
             os.makedirs(os.path.dirname(log_path), exist_ok=True)
             with open(log_path, "a") as f:
@@ -160,11 +181,22 @@ def main() -> None:
 
     if not pairs:
         raise SystemExit("no pairs ran (window gate never passed)")
-    by_eff = sorted(pairs, key=lambda p: p["eff"])
+    held_pairs = [p for p in pairs if p.get("held", True)]
+    shear_note = (
+        "All pairs passed the during-leg hold rule."
+        if len(held_pairs) == len(pairs)
+        else f"{len(pairs) - len(held_pairs)}/{len(pairs)} pairs sheared "
+             "(mid-leg host collapse; shown, excluded from the median)."
+        if held_pairs
+        else "NO pair held — the median below measures the host scheduler, "
+             "not the engine."
+    )
+    by_eff = sorted(held_pairs or pairs, key=lambda p: p["eff"])
     med = by_eff[len(by_eff) // 2]
     lines = "\n".join(
-        "| {} | {:,.0f} | {:,.0f} | {} | {} |".format(
+        "| {} | {:,.0f} | {:,.0f} | {} | {} | {} |".format(
             i, p["n"]["events_per_sec"], p["4n"]["events_per_sec"], p["eff"],
+            "held" if p.get("held", True) else "SHEARED",
             min(p["probes"]))
         for i, p in enumerate(pairs)
     )
@@ -179,12 +211,14 @@ Input: {args.docs:,} docs / {n_events:,} events in {args.batches} batches,
 generated once and copied per leg; legs taskset-pinned to exactly their
 core budget; pairs window-gated (frac {args.window_gate_frac}).
 
-| pair | N ev/s | 4N ev/s | eff | min probe (Mops) |
-|---|---|---|---|---|
+| pair | N ev/s | 4N ev/s | eff | hold rule | min probe (Mops) |
+|---|---|---|---|---|---|
 {lines}
 
-**Median pair efficiency: {med["eff"]}** (N={args.n_exec} -> {xn} executors,
-commit {commit}).  The headline claim remains the larger-workload
+{shear_note}
+
+**Median pair efficiency: {med["eff"]}** (over rule-passing pairs;
+N={args.n_exec} -> {xn} executors, commit {commit}).  The headline claim remains the larger-workload
 `BENCH/BASELINE.md` local[N] table; this table evidences that the SAME job,
 deployed in the true multi-executor topology, scales comparably — i.e. the
 engine's partition-parallel plan, not single-JVM thread sharing, carries
