@@ -78,15 +78,15 @@ def prep_input(tmp: str, docs: int, events_per_doc: int) -> tuple[str, str, int]
 
 
 def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
-            events_per_batch: int, tag: str) -> dict:
+            events_per_batch: int, tag: str, exec_mb: int = 2048) -> dict:
     wh = os.path.join(tmp, f"wh_{tag}")
     shutil.copytree(wh0, wh)
     cmd = [
-        SPARK_SUBMIT, "--master", f"local-cluster[{n_exec},1,2048]",
+        SPARK_SUBMIT, "--master", f"local-cluster[{n_exec},1,{exec_mb}]",
         "--driver-memory", "2g",
         "--conf", f"spark.sql.shuffle.partitions={n_exec}",
         "--conf", "spark.ui.enabled=false",
-        "--conf", "spark.executor.memory=2g",
+        f"--conf", f"spark.executor.memory={exec_mb}m",
         "--py-files", zpath,
         os.path.join(REPO, "jobs", "replay_job.py"),
         "--warehouse", wh, "--table", "sequences", "--migration-id", f"cs-{tag}",
@@ -122,6 +122,7 @@ def main() -> None:
     ap.add_argument("--n-exec", type=int, default=1)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--window-gate-frac", type=float, default=0.7)
+    ap.add_argument("--exec-mb", type=int, default=4096)
     ap.add_argument("--window-wait-s", type=int, default=60)
     ap.add_argument("--window-max-waits", type=int, default=10)
     args = ap.parse_args()
@@ -151,9 +152,9 @@ def main() -> None:
                 print(json.dumps({"window_gate_skip": {"pair": i}}), flush=True)
                 continue
             p0 = host_probe()
-            r_n = run_leg(tmp, zpath, wh0, ev_dir, args.n_exec, epb, f"p{i}n")
+            r_n = run_leg(tmp, zpath, wh0, ev_dir, args.n_exec, epb, f"p{i}n", args.exec_mb)
             p1 = host_probe()
-            r_4n = run_leg(tmp, zpath, wh0, ev_dir, xn, epb, f"p{i}x")
+            r_4n = run_leg(tmp, zpath, wh0, ev_dir, xn, epb, f"p{i}x", args.exec_mb)
             p2 = host_probe()
             eff = (r_4n["events_per_sec"] / r_n["events_per_sec"]) / (xn / args.n_exec)
             # pre-registered during-leg hold rule (same as scaling_bench)
@@ -204,7 +205,7 @@ def main() -> None:
 
 Same replay job as the headline `BENCH/BASELINE.md` pairs, but deployed the
 north rule's way: `spark-submit --py-files mbdm.zip jobs/replay_job.py` on
-`local-cluster[{args.n_exec},1,2048]` (N) vs `local-cluster[{xn},1,2048]`
+`local-cluster[{args.n_exec},1,{args.exec_mb}]` (N) vs `local-cluster[{xn},1,{args.exec_mb}]`
 (4N) — each executor a REAL separate worker JVM (package distribution, task
 serialization, broadcast and shuffle all cross process boundaries).
 Input: {args.docs:,} docs / {n_events:,} events in {args.batches} batches,
