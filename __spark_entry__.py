@@ -1977,6 +1977,104 @@ def q_cdc_merge_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", _tokens_digest("tokens"), "n_tok", "source")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the most recent
+    click at-or-before it by the same user (single co-partitioning shuffle +
+    running last(ignorenulls) window — no per-key cross product)."""
+    from mongo_bulk_data_migration_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id",
+        left_seq="purchase_id", right_seq="click_id",
+        right_values=["click_id"],
+    )
+    return out.select(
+        "user_id", "purchase_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ms"),
+        F.coalesce(F.col("asof_click_id"), F.lit(-1)).alias("last_click_id"),
+    )
+
+
+_ASOF_JOIN_ORACLE = """
+SELECT user_id, purchase_id, purchase_ms, coalesce(last_click_id, -1) AS last_click_id FROM (
+  SELECT user_id, side, event_id AS purchase_id, epoch_ms(ts) AS purchase_ms,
+         last_value(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id, side DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+  FROM (
+    SELECT user_id, ts, event_id, NULL::BIGINT AS click_id, 0 AS side
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, ts, event_id, event_id AS click_id, 1 AS side
+    FROM events WHERE event_type = 'click')
+) WHERE side = 0
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) -> per-session summary.
+
+    One hash shuffle on user_id; lag + running sum share a single
+    within-partition sort; the summary re-uses the same partitioning."""
+    from mongo_bulk_data_migration_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = sessionize(ev, key="user_id", ts="ts", seq="event_id", gap_minutes=30.0)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_millis(F.min("ts").cast("timestamp")).alias("start_ms"),
+        F.unix_millis(F.max("ts").cast("timestamp")).alias("end_ms"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+SELECT user_id, session_idx, count(*) AS n_events,
+       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+FROM (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                    OR epoch(ts) - epoch(prev_ts) <= 1800 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
+  FROM (SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events))
+GROUP BY user_id, session_idx
+"""
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time hourly rollup: date_trunc bucket + hash agg with map-side
+    partial combine (the Structured Streaming windowed-agg shape, batch)."""
+    from mongo_bulk_data_migration_spark.operators.temporal import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return time_rollup(
+        ev, ts="ts", unit="hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double").alias("sum_value"),
+        ],
+    )
+
+
+_TIME_ROLLUP_ORACLE = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2041,6 +2139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_restore": q_delete_restore,
         "projection_scope": q_projection_scope,
         "dead_letter": q_dead_letter,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "time_rollup": q_time_rollup,
     }
 
 
@@ -2100,4 +2201,7 @@ def oracle_sql() -> dict[str, str]:
         "delete_restore": _DELETE_RESTORE_ORACLE,
         "projection_scope": _PROJECTION_SCOPE_ORACLE,
         "dead_letter": _DEAD_LETTER_ORACLE,
+        "asof_join": _ASOF_JOIN_ORACLE,
+        "sessionize": _SESSIONIZE_ORACLE,
+        "time_rollup": _TIME_ROLLUP_ORACLE,
     }
