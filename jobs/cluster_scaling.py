@@ -181,54 +181,101 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     if not pairs:
-        raise SystemExit("no pairs ran (window gate never passed)")
-    held_pairs = [p for p in pairs if p.get("held", True)]
-    shear_note = (
-        "All pairs passed the during-leg hold rule."
-        if len(held_pairs) == len(pairs)
-        else f"{len(pairs) - len(held_pairs)}/{len(pairs)} pairs sheared "
-             "(mid-leg host collapse; shown, excluded from the median)."
-        if held_pairs
-        else "NO pair held — the median below measures the host scheduler, "
-             "not the engine."
-    )
-    by_eff = sorted(held_pairs or pairs, key=lambda p: p["eff"])
-    med = by_eff[len(by_eff) // 2]
-    lines = "\n".join(
-        "| {} | {:,.0f} | {:,.0f} | {} | {} | {} |".format(
-            i, p["n"]["events_per_sec"], p["4n"]["events_per_sec"], p["eff"],
-            "held" if p.get("held", True) else "SHEARED",
-            min(p["probes"]))
-        for i, p in enumerate(pairs)
-    )
-    md = f"""# BENCH/CLUSTER — multi-executor (separate worker JVMs) scaling pairs
+        sys.stderr.write("no pairs ran this session (window gate never passed)\n")
+    write_report(log_path)
+
+
+def write_report(log_path: str) -> None:
+    """Rebuild BENCH/CLUSTER.md from the FULL raw history, every run.
+
+    A session whose every pair sheared must not overwrite clean evidence
+    from an earlier window with scheduler noise — the report always shows
+    all pair groups, classifies each pair (held / SHEARED / no-sampler for
+    pre-sampler rows), and takes each group's median over held pairs only.
+    """
+    rows = []
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    by_pair: dict[tuple, dict] = {}
+    for r in rows:
+        k = (r["n_events"], r["commit"], r["pair"])
+        by_pair.setdefault(k, {})[r["n_exec"]] = r
+    groups: dict[tuple, list] = {}
+    for (n_events, commit, pidx), legs in sorted(by_pair.items()):
+        ns = sorted(legs)
+        if len(ns) != 2 or ns[1] != 4 * ns[0]:
+            continue  # interrupted pair
+        lo, hi = legs[ns[0]], legs[ns[1]]
+        eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (ns[1] / ns[0])
+        sampled = "during_probe_mops" in lo or "during_probe_mops" in hi
+        held = lo.get("held", None) if sampled else None
+        cls = ("held" if held else "SHEARED") if sampled else "no-sampler"
+        groups.setdefault((n_events, commit), []).append(
+            {"pair": pidx, "lo": lo, "hi": hi, "eff": eff, "cls": cls}
+        )
+
+    sections = []
+    summary = []
+    for (n_events, commit), ps in sorted(groups.items()):
+        lines = "\n".join(
+            "| {} | {:,.0f} | {:,.0f} | {:.3f} | {} | {} |".format(
+                p["pair"], p["lo"]["events_per_sec"], p["hi"]["events_per_sec"],
+                p["eff"], p["cls"],
+                min(p["lo"].get("host_probe_mops", []) +
+                    p["hi"].get("host_probe_mops", []) or [0]))
+            for p in ps
+        )
+        ok = sorted(p["eff"] for p in ps if p["cls"] != "SHEARED")
+        med = f"{ok[len(ok) // 2]:.3f}" if ok else "—"
+        n_shear = sum(p["cls"] == "SHEARED" for p in ps)
+        note = f" ({n_shear}/{len(ps)} sheared, excluded)" if n_shear else ""
+        summary.append(f"| {n_events:,} | {commit} | {len(ps)} | {med}{note} |")
+        sections.append(
+            f"### {n_events:,} events (commit {commit}) — median of "
+            f"rule-passing pairs: **{med}**{note}\n\n"
+            "| pair | N ev/s | 4N ev/s | eff | hold rule | min bracket probe |\n"
+            "|---|---|---|---|---|---|\n" + lines
+        )
+
+    md = """# BENCH/CLUSTER — multi-executor (separate worker JVMs) scaling pairs
 
 Same replay job as the headline `BENCH/BASELINE.md` pairs, but deployed the
 north rule's way: `spark-submit --py-files mbdm.zip jobs/replay_job.py` on
-`local-cluster[{args.n_exec},1,{args.exec_mb}]` (N) vs `local-cluster[{xn},1,{args.exec_mb}]`
-(4N) — each executor a REAL separate worker JVM (package distribution, task
-serialization, broadcast and shuffle all cross process boundaries).
-Input: {args.docs:,} docs / {n_events:,} events in {args.batches} batches,
-generated once and copied per leg; legs taskset-pinned to exactly their
-core budget; pairs window-gated (frac {args.window_gate_frac}).
+`local-cluster[N,1,mem]` vs `local-cluster[4N,1,mem]` — each executor a REAL
+separate worker JVM (package distribution, task serialization, broadcast and
+shuffle all cross process boundaries).  Input generated once and copied per
+leg; legs taskset-pinned to exactly their core budget; pairs window-gated;
+the during-leg sampler classifies each pair held/SHEARED (pre-sampler rows:
+`no-sampler`, judged by bracket probes only).  This report is rebuilt from
+the FULL `BENCH/cluster_runs.jsonl` history on every run, so an all-sheared
+session records its rows without overwriting clean-window evidence.
 
-| pair | N ev/s | 4N ev/s | eff | hold rule | min probe (Mops) |
-|---|---|---|---|---|---|
-{lines}
+| events | commit | pairs | median eff (rule-passing) |
+|---|---|---|---|
+""" + "\n".join(summary) + """
 
-{shear_note}
+A `—` median means NO pair in that group survived the hold rule — those
+sessions measure the host scheduler, not the engine, and are retained only
+as raw rows.  The 800k-event group is serial-cost-dominated (see the Amdahl
+decomposition in `BENCH/BASELINE.md`: per-batch driver-side cost S is
+constant, so small workloads under-read scaling); the 3.2M+ groups carry
+the cluster-topology scaling claim when a held pair exists.  The headline
+scaling evidence remains the larger-workload `BENCH/BASELINE.md` local[N]
+table; this file evidences that the SAME job, deployed in the true
+multi-executor topology, scales comparably — the engine's
+partition-parallel plan, not single-JVM thread sharing, carries the
+speedup.
 
-**Median pair efficiency: {med["eff"]}** (over rule-passing pairs;
-N={args.n_exec} -> {xn} executors, commit {commit}).  The headline claim remains the larger-workload
-`BENCH/BASELINE.md` local[N] table; this table evidences that the SAME job,
-deployed in the true multi-executor topology, scales comparably — i.e. the
-engine's partition-parallel plan, not single-JVM thread sharing, carries
-the speedup.  Raw rows: `BENCH/cluster_runs.jsonl`.
-"""
+""" + "\n\n".join(sections) + "\n"
     with open(os.path.join(REPO, "BENCH", "CLUSTER.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"median_eff": med["eff"], "pairs": len(pairs)}))
+    print(json.dumps({"groups": {f"{k[0]}@{k[1]}": len(v)
+                                 for k, v in groups.items()}}))
 
 
 if __name__ == "__main__":
-    main()
+    if "--report-only" in sys.argv:
+        write_report(os.path.join(REPO, "BENCH", "cluster_runs.jsonl"))
+    else:
+        main()
