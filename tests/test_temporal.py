@@ -63,6 +63,24 @@ def test_asof_single_exchange_no_join(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
 
 
+def test_sessionize_single_exchange_single_sort(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, _ts(0)), (1, 2, _ts(40))], "user_id int, event_id int, ts timestamp"
+    )
+    s = sessionize(ev, key="user_id", ts="ts", seq="event_id")
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    # lag + running sum share one partitioning and one within-partition sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1
+
+
+def test_time_rollup_partial_agg(spark):
+    ev = spark.createDataFrame([(dt.datetime(2024, 1, 1, 3),)], "ts timestamp")
+    plan = time_rollup(ev)._jdf.queryExecution().executedPlan().toString()
+    # map-side partial combine before the shuffle
+    assert "partial_count" in plan
+
+
 def test_sessionize_gap_boundary(spark):
     rows = [
         (1, 1, _ts(0)),
