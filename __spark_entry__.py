@@ -2075,6 +2075,64 @@ FROM events GROUP BY 1
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the change feed: each event becomes
+    a validity interval [ts, next ts) per user; open-ended current row.
+    One shuffle + one partitioned sort (lead), no self-join."""
+    from mongo_bulk_data_migration_spark.operators.temporal import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    s = scd2_intervals(ev, key="user_id", ts="ts", seq="event_id")
+    return s.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.unix_millis(F.col("valid_from").cast("timestamp")).alias("from_ms"),
+        F.coalesce(
+            F.unix_millis(F.col("valid_to").cast("timestamp")), F.lit(-1)
+        ).alias("to_ms"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+_SCD2_ORACLE = """
+SELECT user_id, event_id, event_type AS state,
+       epoch_ms(ts) AS from_ms,
+       coalesce(epoch_ms(lead(ts) OVER w), -1) AS to_ms,
+       (lead(ts) OVER w IS NULL)::INT AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles of document lengths per hash-ring
+    split (sort-based exact percentile; the 100 TB path swaps in
+    approx_percentile — t-digest sketch, one pass, mergeable — documented
+    here because exact percentile IS verifiable against the oracle while
+    the sketch is not bit-stable)."""
+    from mongo_bulk_data_migration_spark.functions.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.withColumn("bucket", hash_bucket(F.col("doc_id"), 4))
+    return g.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_chars", 0.5).alias("p50"),
+        F.percentile("n_chars", 0.9).alias("p90"),
+        F.percentile("n_chars", 0.99).alias("p99"),
+    )
+
+
+_QUANTILES_ORACLE = """
+SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 4)::INT AS bucket,
+       count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99
+FROM documents GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2142,6 +2200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
+        "scd2_intervals": q_scd2_intervals,
+        "quantiles": q_quantiles,
     }
 
 
@@ -2204,4 +2264,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_JOIN_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "time_rollup": _TIME_ROLLUP_ORACLE,
+        "scd2_intervals": _SCD2_ORACLE,
+        "quantiles": _QUANTILES_ORACLE,
     }

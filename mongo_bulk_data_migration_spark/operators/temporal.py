@@ -122,6 +122,30 @@ def sessionize(
     )
 
 
+def scd2_intervals(
+    events: DataFrame,
+    key: str,
+    ts: str = "ts",
+    seq: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build from a change feed.
+
+    Each event row becomes a validity interval ``[ts, next ts)`` for its
+    key; the latest row per key is open-ended (``valid_to`` NULL,
+    ``is_current`` true).  The canonical CDC-downstream dimension shape:
+    one hash shuffle on ``key``, a single within-partition sort shared by
+    ``lead`` — no self-join, no per-key collect.
+    """
+    order = [F.col(ts).asc()] + ([F.col(seq).asc()] if seq else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    nxt = F.lead(F.col(ts)).over(w)
+    return (
+        events.withColumn("valid_from", F.col(ts))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )
+
+
 def time_rollup(
     events: DataFrame,
     ts: str = "ts",

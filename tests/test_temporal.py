@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mongo_bulk_data_migration_spark.operators.temporal import (
     asof_join,
+    scd2_intervals,
     sessionize,
     time_rollup,
 )
@@ -100,6 +101,19 @@ def test_sessionize_exact_gap_is_same_session(spark):
     )
     s = sessionize(ev, key="user_id", ts="ts", seq="event_id", gap_minutes=30.0)
     assert {r["session_idx"] for r in s.collect()} == {0}
+
+
+def test_scd2_intervals_chain(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, _ts(0), "a"), (1, 2, _ts(5), "b"), (2, 3, _ts(1), "x")],
+        "user_id int, event_id int, ts timestamp, state string",
+    )
+    out = {r["event_id"]: r for r in
+           scd2_intervals(ev, key="user_id", seq="event_id").collect()}
+    # intervals chain: row 1 closes at row 2's ts; latest row per key is open
+    assert out[1]["valid_to"] == _ts(5) and not out[1]["is_current"]
+    assert out[2]["valid_to"] is None and out[2]["is_current"]
+    assert out[3]["valid_to"] is None and out[3]["is_current"]
 
 
 def test_time_rollup_buckets(spark):
