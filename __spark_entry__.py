@@ -2133,6 +2133,40 @@ FROM documents GROUP BY 1
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via time-bin equi-join (no
+    BroadcastNestedLoop): 60 overlapping 16h windows stepped 14h across
+    the event month; count events per window."""
+    from mongo_bulk_data_migration_spark.operators.rangejoin import bin_range_join
+
+    t0 = 1704067200000  # 2024-01-01T00:00Z epoch ms
+    step, width = 14 * 3_600_000, 16 * 3_600_000
+    wins = spark.range(0, 60).select(
+        F.col("id").alias("win_id"),
+        (F.lit(t0) + F.col("id") * step).alias("lo_ms"),
+        (F.lit(t0) + F.col("id") * step + width).alias("hi_ms"),
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    j = bin_range_join(ev, wins, ts="ts", bin_ms=4 * 3_600_000)
+    return (
+        j.groupBy("win_id", "lo_ms", "hi_ms")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH wins AS (
+  SELECT i AS win_id,
+         1704067200000 + i * 50400000 AS lo_ms,
+         1704067200000 + i * 50400000 + 57600000 AS hi_ms
+  FROM generate_series(0, 59) t(i))
+SELECT win_id, lo_ms, hi_ms, count(*) AS n_events
+FROM events e JOIN wins w
+  ON epoch_ms(e.ts) >= w.lo_ms AND epoch_ms(e.ts) < w.hi_ms
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2202,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "scd2_intervals": q_scd2_intervals,
         "quantiles": q_quantiles,
+        "range_join": q_range_join,
     }
 
 
@@ -2266,4 +2301,5 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": _TIME_ROLLUP_ORACLE,
         "scd2_intervals": _SCD2_ORACLE,
         "quantiles": _QUANTILES_ORACLE,
+        "range_join": _RANGE_JOIN_ORACLE,
     }
