@@ -132,7 +132,15 @@ class _LegSampler:
     def _loop(self) -> None:
         while not self._stop.is_set():
             try:
-                self.samples.append(_host_probe(self.N_PROC, self.WORK))
+                # median of 3 quick probes (see jobs/scaling_bench.LegSampler:
+                # one sub-second probe can read falsely low and misclassify
+                # an attempt; sustained collapse reads low in all three)
+                trio = []
+                for _ in range(3):
+                    trio.append(_host_probe(self.N_PROC, self.WORK))
+                    if self._stop.wait(1.0):
+                        break
+                self.samples.append(sorted(trio)[len(trio) // 2])
             except Exception:
                 pass
             self._stop.wait(self.INTERVAL_S)

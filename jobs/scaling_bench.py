@@ -116,7 +116,16 @@ class LegSampler:
     def _loop(self) -> None:
         while not self._stop.is_set():
             try:
-                self.samples.append(host_probe(self.n_proc, self.work))
+                # median of 3 quick probes: one sub-second probe can read
+                # falsely low (probe-pool cold start, a GC burst in the leg
+                # JVM) and shear an otherwise-held pair; sustained collapse
+                # still reads low in all three
+                trio = []
+                for _ in range(3):
+                    trio.append(host_probe(self.n_proc, self.work))
+                    if self._stop.wait(1.0):
+                        break
+                self.samples.append(sorted(trio)[len(trio) // 2])
             except Exception:
                 pass
             self._stop.wait(self.interval_s)
