@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import sys
 import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -2133,6 +2134,57 @@ FROM documents GROUP BY 1
 """
 
 
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming event-time tumbling-window counts under a
+    watermark, append mode: only windows the watermark has CLOSED emit —
+    the late-data contract (§2.10's aggregation face).  File-source replay:
+    all real events arrive in micro-batch 1 (single part file, so the
+    initial watermark drops nothing), then a far-future sentinel row in
+    batch 2 pushes the watermark past every real window and flushes them.
+    The sentinel's own (still-open) window is excluded from the result —
+    append mode's guarantee is exactly that an open window never emits.
+    Oracle: plain hourly counts in SQL."""
+    _utc(spark)
+    wh = tempfile.mkdtemp(prefix="mbdm_wm_")
+    src = os.path.join(wh, "src")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    ev.coalesce(1).write.parquet(src)
+    sentinel_ts = ev.agg(
+        F.date_trunc("hour", F.max("ts")) + F.expr("INTERVAL 48 HOURS")
+    ).collect()[0][0]
+    spark.createDataFrame([(-1, sentinel_ts)], "event_id long, ts timestamp") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", os.path.join(wh, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    out = spark.table(name).where(F.col("w.start") < F.lit(sentinel_ts))
+    return out.select(
+        F.unix_millis(F.col("w.start")).alias("bucket_ms"), "n_events"
+    )
+
+
+_STREAM_WINDOWED_ORACLE = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join via time-bin equi-join (no
     BroadcastNestedLoop): 60 overlapping 16h windows stepped 14h across
@@ -2237,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "quantiles": q_quantiles,
         "range_join": q_range_join,
+        "stream_windowed": q_stream_windowed,
     }
 
 
@@ -2302,4 +2355,5 @@ def oracle_sql() -> dict[str, str]:
         "scd2_intervals": _SCD2_ORACLE,
         "quantiles": _QUANTILES_ORACLE,
         "range_join": _RANGE_JOIN_ORACLE,
+        "stream_windowed": _STREAM_WINDOWED_ORACLE,
     }
