@@ -211,7 +211,9 @@ class ChangeStreamReplayer:
         o_ev = Observation(f"cdc-b{batch_id}-events")
         batch = batch.observe(o_ev, F.count(F.lit(1)).alias("n_events"))
         src = self._build_source(target, batch)
+        sc = self.spark.sparkContext
         t1 = time.monotonic()
+        sc.setJobDescription(f"cdc b{batch_id}: plan+stage")
         plan = build_merge_plan(
             target,
             self.spark,
@@ -224,6 +226,7 @@ class ChangeStreamReplayer:
             bypass_validation=cfg.options.bypass_validation,
         )
         t_plan = time.monotonic() - t1
+        sc.setJobDescription(f"cdc b{batch_id}: lineage")
         # per-partition lineage from the staged collapsed source: max seq
         # per part survives the last-wins collapse whenever a key's
         # events stay in one part (the CDC shard model); if not, the
@@ -243,6 +246,7 @@ class ChangeStreamReplayer:
             cl = Changelog(self.catalog, cfg.rollback_table_name, target, cfg.id)
             start_ver = target.current_version()
             t2 = time.monotonic()
+            sc.setJobDescription(f"cdc b{batch_id}: changelog")
             n_backups = cl.append_batch(
                 self.spark,
                 plan.preimage,
@@ -256,6 +260,7 @@ class ChangeStreamReplayer:
                 raise SimulatedCrash(batch_id, "changelog")
             self.engine._record_migration_start(target, start_ver)
             t3 = time.monotonic()
+            sc.setJobDescription(f"cdc b{batch_id}: merge-commit")
             run_merge(
                 target,
                 plan,
@@ -270,6 +275,7 @@ class ChangeStreamReplayer:
         finally:
             plan.release()
 
+        sc.setJobDescription(None)
         if crash_after and crash_after == (batch_id, "merge"):
             raise SimulatedCrash(batch_id, "merge")
         self.hwm.advance(part_hwm, batch_id)
