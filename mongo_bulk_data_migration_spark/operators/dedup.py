@@ -25,18 +25,24 @@ def last_wins(
     key: str = "doc_id",
     order: str = "seq",
     n_salt: int | None = None,
+    extra_group: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Collapse to the single highest-``order`` event per ``key``."""
+    """Collapse to the single highest-``order`` event per ``key``.
+
+    ``extra_group`` prepends grouping columns (e.g. a batch id) so one pass
+    collapses every group at once — the prestage path's all-batches collapse.
+    """
+    gcols = [*extra_group, key]
     cols = events.columns
     payload = F.struct(*[F.col(c) for c in cols])
     if n_salt and n_salt > 1:
         salted = events.withColumn(
             "__salt", F.pmod(F.xxhash64(F.col(order)), F.lit(n_salt)).cast("int")
         )
-        partial = salted.groupBy(key, "__salt").agg(
+        partial = salted.groupBy(*gcols, "__salt").agg(
             F.max_by(payload, F.col(order)).alias("__row"), F.max(order).alias("__ord")
         )
-        final = partial.groupBy(key).agg(F.max_by(F.col("__row"), F.col("__ord")).alias("__row"))
+        final = partial.groupBy(*gcols).agg(F.max_by(F.col("__row"), F.col("__ord")).alias("__row"))
     else:
-        final = events.groupBy(key).agg(F.max_by(payload, F.col(order)).alias("__row"))
+        final = events.groupBy(*gcols).agg(F.max_by(payload, F.col(order)).alias("__row"))
     return final.select(*[F.col(f"__row.{c}").alias(c) for c in cols])

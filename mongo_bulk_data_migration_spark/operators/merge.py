@@ -81,11 +81,12 @@ class MergePlan:
     inserts_frame: DataFrame | None = None  # for n_inserted (cheap: staged parents)
     scratch_dir: str | None = None     # staging dir, removed on release()
     result_prepartitioned: bool = False  # result already bucket-organized
+    static_metrics: dict[str, int] = field(default_factory=dict)  # prestage stats
 
     def metrics(self) -> dict[str, int]:
         from ..plans.obsutil import observed
 
-        out: dict[str, int] = {}
+        out: dict[str, int] = dict(self.static_metrics)
         for o in self.observations.values():
             # an observe node on a branch AQE eliminated reads as {} (its
             # branch produced no rows); real failures propagate
@@ -189,7 +190,7 @@ def _dir_bytes(path: str) -> int:
 def build_merge_plan(
     table: LakeTable,
     spark: SparkSession,
-    src: DataFrame,
+    src: DataFrame | None,
     update_cols: list[str] | None = None,
     strategy: str = "auto",
     with_observation: bool = True,
@@ -197,6 +198,7 @@ def build_merge_plan(
     value_exprs: dict[str, Column] | None = None,
     bypass_validation: bool = False,
     broadcast_threshold_bytes: int = BROADCAST_MAX_STAGED_BYTES,
+    prestaged: dict | None = None,
 ) -> MergePlan:
     """Build the merged rows + pre-images for one batch (single target scan).
 
@@ -207,43 +209,58 @@ def build_merge_plan(
     key = table.key_col
     data_cols = [f.name for f in table.schema.fields]
     update_set = set(update_cols if update_cols is not None else data_cols)
-    carry_cols = [c for c in (carry_cols or []) if c in src.columns]
-    if not bypass_validation:
-        check_source_types(table, src)
-
-    # Stage the prepared source to parquet scratch: the (possibly expensive)
-    # upstream lineage — last-wins aggregation, event decoding — is paid
-    # exactly once; every downstream consumer (touched-bucket discovery, the
-    # broadcast build per action, insert anti join) reads clean columnar
-    # files with pruning instead of re-executing the plan.
-    staged = _prep_source(table, src, carry_cols)
     scratch = os.path.join(table.root, "_tmp", f"batch-{uuid.uuid4().hex}")
     observations: dict[str, Observation] = {}
-    o_src = Observation("merge-src")
-    observations["source"] = o_src
-    # the staging write doubles as the touched-bucket discovery and the
-    # source-count job: zero extra actions
-    staged_obs = staged.observe(
-        o_src,
-        F.collect_set(F.col(BUCKET_COL)).alias("touched_buckets"),
-        F.count(F.lit(1)).alias("n_source_keys"),
-        _cnt(F.col(OP_COL).isin("put", "insert")).alias("n_src_upserts"),
-    )
-    staged_obs.write.mode("overwrite").option("compression", "uncompressed").parquet(
-        os.path.join(scratch, "src")
-    )
-    s = spark.read.schema(staged.schema).parquet(os.path.join(scratch, "src"))
+    static_metrics: dict[str, int] = {}
+    if prestaged is not None:
+        # the caller staged every batch's prepared source in ONE upfront
+        # write (replay prestage path) — this batch is a directory-pruned
+        # slice; touched buckets / sizes / counts were computed there, so
+        # the per-batch staging job and its observation disappear entirely
+        s = spark.read.schema(prestaged["schema"]).parquet(prestaged["path"])
+        carry_cols = [
+            c for c in (carry_cols or [])
+            if f"__c_{c}" in prestaged["schema"].fieldNames()
+        ]
+        touched = sorted(prestaged["touched"])
+        staged_bytes = int(prestaged["staged_bytes"])
+        static_metrics = dict(prestaged.get("static_metrics") or {})
+    else:
+        carry_cols = [c for c in (carry_cols or []) if c in src.columns]
+        if not bypass_validation:
+            check_source_types(table, src)
 
-    src_stats = o_src.get
-    touched = sorted(src_stats.get("touched_buckets") or [])
+        # Stage the prepared source to parquet scratch: the (possibly
+        # expensive) upstream lineage — last-wins aggregation, event decoding
+        # — is paid exactly once; every downstream consumer (touched-bucket
+        # discovery, the broadcast build per action, insert anti join) reads
+        # clean columnar files with pruning instead of re-executing the plan.
+        staged = _prep_source(table, src, carry_cols)
+        o_src = Observation("merge-src")
+        observations["source"] = o_src
+        # the staging write doubles as the touched-bucket discovery and the
+        # source-count job: zero extra actions
+        staged_obs = staged.observe(
+            o_src,
+            F.collect_set(F.col(BUCKET_COL)).alias("touched_buckets"),
+            F.count(F.lit(1)).alias("n_source_keys"),
+            _cnt(F.col(OP_COL).isin("put", "insert")).alias("n_src_upserts"),
+        )
+        staged_obs.write.mode("overwrite").option("compression", "uncompressed").parquet(
+            os.path.join(scratch, "src")
+        )
+        s = spark.read.schema(staged.schema).parquet(os.path.join(scratch, "src"))
 
-    # strategy auto-selection from MEASURED size, not a guess: the staged
-    # uncompressed-parquet footprint of the prepared batch decides whether
-    # the source side is safe to broadcast. At 100 TB / events_per_batch in
-    # the millions, an unconditional broadcast of the batch is the one true
-    # scale-killer in this path — large batches take the full-outer
-    # sort-merge join instead (AQE handles skewed partitions there).
-    staged_bytes = _dir_bytes(os.path.join(scratch, "src"))
+        src_stats = o_src.get
+        touched = sorted(src_stats.get("touched_buckets") or [])
+
+        # strategy auto-selection from MEASURED size, not a guess: the staged
+        # uncompressed-parquet footprint of the prepared batch decides whether
+        # the source side is safe to broadcast. At 100 TB / events_per_batch
+        # in the millions, an unconditional broadcast of the batch is the one
+        # true scale-killer in this path — large batches take the full-outer
+        # sort-merge join instead (AQE handles skewed partitions there).
+        staged_bytes = _dir_bytes(os.path.join(scratch, "src"))
     if strategy == "auto":
         strategy = "broadcast" if staged_bytes <= broadcast_threshold_bytes else "shuffle"
 
@@ -264,6 +281,7 @@ def build_merge_plan(
             observations=observations,
             source=s,
             scratch_dir=scratch,
+            static_metrics=static_metrics,
         )
     tgt = table.read(spark, buckets=touched)
 
@@ -454,6 +472,7 @@ def build_merge_plan(
         inserts_frame=inserts_frame,
         scratch_dir=scratch,
         result_prepartitioned=(strategy == "broadcast"),
+        static_metrics=static_metrics,
     )
 
 
