@@ -976,6 +976,50 @@ FROM documents
 """
 
 
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (mT5/XLM-R rule): rebalance the
+    corpus toward shares ∝ n_s^0.5 by deterministic hash subsampling (see
+    functions/sampling.py:temperature_mix) — membership is a pure function
+    of doc_id; the corpus is never shuffled (stats agg + broadcast dim +
+    codegen'd hash filter). Returns per-source totals/kept/quota."""
+    from mongo_bulk_data_migration_spark.functions.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_mix(d, source_col="source", key_col="doc_id", alpha=0.5)
+    return (
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+        .join(
+            kept.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.max("__keep_ppm").alias("keep_ppm"),
+            ),
+            "source",
+        )
+        .select("source", "n_total", "n_kept", "keep_ppm")
+        .orderBy("source")
+    )
+
+
+_SOURCE_MIXING_ORACLE = """
+WITH stats AS (
+  SELECT source, count(*)::DOUBLE AS n, pow(count(*)::DOUBLE, 0.5) AS w
+  FROM documents GROUP BY source
+), g AS (
+  SELECT min(n / w) AS mr FROM stats
+), dim AS (
+  SELECT source, floor(1000000.0 * g.mr * w / n)::BIGINT AS keep_ppm
+  FROM stats, g
+)
+SELECT d.source AS source,
+       count(*) AS n_total,
+       sum(CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
+                     % 1000000 < dim.keep_ppm THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       max(dim.keep_ppm) AS keep_ppm
+FROM documents d JOIN dim ON d.source = dim.source
+GROUP BY d.source ORDER BY source
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing >=1 char 20-gram
     with the benchmark set (docs 0-19 as the stand-in eval suite). Broadcast
@@ -2261,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "seq_packing": q_seq_packing,
         "holdout_split": q_holdout_split,
+        "source_mixing": q_source_mixing,
         "decontaminate": q_decontaminate,
         "vocab_topk": q_vocab_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -2325,6 +2370,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _neardup_clusters_oracle(),
         "seq_packing": _SEQ_PACKING_ORACLE,
         "holdout_split": _HOLDOUT_ORACLE,
+        "source_mixing": _SOURCE_MIXING_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "vocab_topk": _VOCAB_TOPK_ORACLE,
         "embedding_neardup": _embedding_neardup_oracle(),

@@ -26,6 +26,43 @@ def hash_bucket(key: Column, n: int = 100) -> Column:
     ).cast("int")
 
 
+def temperature_mix(
+    df,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    grain: int = 1_000_000,
+):
+    """Temperature-scaled source mixing by deterministic subsampling.
+
+    Rebalances a multi-source corpus toward target shares q_s ∝ n_s^alpha
+    (alpha < 1 upweights rare sources — the mT5/XLM-R multilingual mixing
+    rule). Realized by SUBSAMPLING only: the output size c = min_s n_s/q_s
+    keeps the scarcest source intact and every source keeps rows with
+    probability p_s = c*q_s/n_s via the md5 hash ring, so membership is a
+    pure function of the key — stable across runs, partitionings, and
+    cluster sizes, and reproducible in ANSI SQL for auditing.
+
+    Physical plan at 100 TB: one map-side-combined aggregation for the
+    per-source stats (|sources| rows), a broadcast join of that dim back
+    onto the corpus, and a codegen'd hash filter — the corpus itself is
+    never shuffled.
+    """
+    stats = df.groupBy(source_col).agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    stats = stats.withColumn("__w", F.pow(F.col("__n"), F.lit(float(alpha))))
+    # p_s = mr * w_s / n_s with mr = min_t n_t/w_t  (c = tw*mr cancels tw)
+    glob = stats.agg(F.min(F.col("__n") / F.col("__w")).alias("__mr"))
+    dim = stats.crossJoin(F.broadcast(glob)).select(
+        F.col(source_col),
+        F.floor(
+            F.lit(float(grain)) * F.col("__mr") * F.col("__w") / F.col("__n")
+        ).cast("long").alias("__keep_ppm"),
+    )
+    return df.join(F.broadcast(dim), source_col).where(
+        hash_bucket(F.col(key_col), grain).cast("long") < F.col("__keep_ppm")
+    )
+
+
 def holdout_split(key: Column, train_pct: int = 90, valid_pct: int = 5) -> Column:
     """'train' / 'valid' / 'test' label, stable per key forever.
 

@@ -343,6 +343,27 @@ def test_holdout_split_deterministic(spark):
         assert r["split"] == want
 
 
+def test_temperature_mix_rebalances(spark):
+    """alpha<1 mixing: the scarcest source survives intact, dominant sources
+    subsample toward n^alpha shares, and membership is key-deterministic."""
+    from mongo_bulk_data_migration_spark.functions.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(i, "rare") for i in range(900, 1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = temperature_mix(df, alpha=0.5).select("doc_id", "source")
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # scarcest source keeps every row (subsample-only realization)
+    assert by_src["rare"] == 100
+    # big's quota is n_rare * sqrt(n_big/n_rare) = 100*3 = 300 (hash jitter)
+    assert 250 <= by_src["big"] <= 350
+    # pure function of the key: second evaluation is identical
+    again = temperature_mix(df, alpha=0.5).select("doc_id", "source")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
 def test_contaminated_docs_broadcast_semi_join(spark):
     from mongo_bulk_data_migration_spark.operators.dedup_text import contaminated_docs
 
