@@ -144,3 +144,39 @@ def test_mor_read_broadcasts_small_delta(spark, tmp_path):
     text = formatted(t.read(spark))
     assert "BroadcastHashJoin" in text and "LeftAnti" in text
     assert "SortMergeJoin" not in text
+
+
+def test_replay_per_batch_job_count_bounded(spark, tmp_path):
+    """Serial-floor contract (round 3): the prestage path must keep the
+    per-batch Spark job count bounded — each job carries fixed scheduling/
+    planning cost that becomes the Amdahl serial term capping N->4N scaling.
+    Budget: ~6 prestage jobs once per window + ~11-13 jobs per batch (plan+
+    stage 2, changelog ~5, merge-commit ~4, plus AQE variance)."""
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.plans.migration import MigrationOptions
+    from mongo_bulk_data_migration_spark.sources.fixtures import (
+        SEQUENCES_SCHEMA,
+        changes_df,
+        sequences_df,
+    )
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(wh)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=8)
+    t.append(sequences_df(spark, 500, parallelism=4))
+    events = changes_df(spark, 500, 2000, n_parts=4, parallelism=4)
+    rep = ChangeStreamReplayer(
+        spark, wh, "sequences", "jobcount", evolve_schema=False,
+        options=MigrationOptions(merge_strategy="broadcast"),
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("floor-audit", "per-batch job count contract")
+    try:
+        ms = rep.apply_changes(events, events_per_batch=500)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(ms) == 4
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("floor-audit"))
+    # 4 batches: 6 (prestage) + 4 * 13 = 58; headroom for AQE stage variance
+    assert n_jobs <= 70, f"per-batch job count regressed: {n_jobs} jobs for 4 batches"
