@@ -2264,6 +2264,174 @@ GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# token-array curation operators (operators/tokstats.py) — the corpus ops a
+# pretraining pipeline runs over the engine's native (doc_id, tokens) payload
+# ---------------------------------------------------------------------------
+
+
+def _tok_cte(vocab_n: int = 32768) -> str:
+    from mongo_bulk_data_migration_spark.operators.tokstats import hash_tokenize_sql
+
+    return (
+        f"SELECT doc_id, {hash_tokenize_sql('text', vocab_n)} AS tokens"
+        " FROM documents"
+    )
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo_bulk_data_migration_spark.operators.tokstats import hash_tokenize
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", hash_tokenize(F.col("text")).alias("tokens")
+    )
+
+
+def q_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency re-index: re-id every token by corpus frequency
+    rank (rank the bounded vocab dim, broadcast the map, reassemble by
+    position — one corpus shuffle; see operators/tokstats.py scale notes).
+    Digested to per-doc scalars (sum/first/last) because the driver's
+    canonicalizer cannot sort raw list columns."""
+    from mongo_bulk_data_migration_spark.operators.tokstats import frequency_remap
+
+    r = frequency_remap(_docs_tokens(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tok"),
+        F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, t: a + t).alias(
+            "remap_sum"
+        ),
+        F.element_at("tokens", 1).alias("first_id"),
+        F.element_at("tokens", -1).alias("last_id"),
+    )
+
+
+def _vocab_remap_oracle() -> str:
+    return f"""
+WITH d AS ({_tok_cte()}),
+e AS (SELECT doc_id, unnest(tokens) AS tok, generate_subscripts(tokens, 1) AS pos FROM d),
+v AS (SELECT tok, count(*) AS n FROM e GROUP BY tok),
+m AS (SELECT tok, (row_number() OVER (ORDER BY n DESC, tok ASC) - 1)::INT AS new_id FROM v)
+SELECT e.doc_id, count(*)::INT AS n_tok, sum(m.new_id)::BIGINT AS remap_sum,
+       arg_min(m.new_id, e.pos)::INT AS first_id,
+       arg_max(m.new_id, e.pos)::INT AS last_id
+FROM e JOIN m USING (tok) GROUP BY e.doc_id
+"""
+
+
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle split with md5-derived (pure-function-of-key) cut
+    points — zero shuffle, codegen'd slices; segment lengths + sums as the
+    driver-hashable digest."""
+    from mongo_bulk_data_migration_spark.functions.tokens import fim_split
+
+    d = _docs_tokens(spark, sf_dir)
+    parts = fim_split(F.col("tokens"), F.col("doc_id").cast("string"))
+    lsum = lambda c: F.aggregate(c, F.lit(0).cast("bigint"), lambda a, t: a + t)
+    return d.select(
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tok"),
+        F.size(parts["prefix"]).cast("int").alias("len_prefix"),
+        F.size(parts["middle"]).cast("int").alias("len_middle"),
+        F.size(parts["suffix"]).cast("int").alias("len_suffix"),
+        lsum(parts["prefix"]).alias("sum_prefix"),
+        lsum(parts["middle"]).alias("sum_middle"),
+        lsum(parts["suffix"]).alias("sum_suffix"),
+    )
+
+
+def _fim_split_oracle() -> str:
+    return f"""
+WITH d AS ({_tok_cte()}),
+c AS (SELECT doc_id, tokens, len(tokens) AS n,
+        (('0x' || substr(md5(doc_id::VARCHAR || ':f1'), 1, 8))::UBIGINT
+         % (len(tokens) + 1))::BIGINT AS c1
+      FROM d),
+c2t AS (SELECT *, c1 + (('0x' || substr(md5(doc_id::VARCHAR || ':f2'), 1, 8))::UBIGINT
+                        % (n - c1 + 1))::BIGINT AS c2
+        FROM c)
+SELECT doc_id, n::INT AS n_tok,
+       c1::INT AS len_prefix, (c2 - c1)::INT AS len_middle, (n - c2)::INT AS len_suffix,
+       coalesce(list_sum(list_slice(tokens, 1, c1)), 0)::BIGINT AS sum_prefix,
+       coalesce(list_sum(list_slice(tokens, c1 + 1, c2)), 0)::BIGINT AS sum_middle,
+       coalesce(list_sum(list_slice(tokens, c2 + 1, n)), 0)::BIGINT AS sum_suffix
+FROM c2t
+"""
+
+
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (diversity signal):
+    two map-side-combinable hash aggregations, no window, no sort."""
+    from mongo_bulk_data_migration_spark.operators.tokstats import unigram_entropy
+
+    return unigram_entropy(_docs_tokens(spark, sf_dir))
+
+
+def _unigram_entropy_oracle() -> str:
+    return f"""
+WITH d AS ({_tok_cte()}),
+e AS (SELECT doc_id, unnest(tokens) AS tok FROM d),
+c AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2)
+SELECT doc_id, sum(c)::INT AS n_tok, count(*)::INT AS n_distinct,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+FROM c GROUP BY doc_id
+"""
+
+
+def q_ngram_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated token 8-grams (memorisation / boilerplate
+    risk): grams built per-row with slice-over-sequence HOFs, shuffled on a
+    fixed-width md5 key, deterministic top-20 cut."""
+    from mongo_bulk_data_migration_spark.operators.tokstats import ngram_repeats
+
+    return ngram_repeats(_docs_tokens(spark, sf_dir))
+
+
+def _ngram_repeats_oracle() -> str:
+    return f"""
+WITH d AS ({_tok_cte()}),
+s AS (SELECT doc_id, tokens,
+             unnest(range(0, greatest(len(tokens) - 7, 0))) AS i
+      FROM d),
+g AS (SELECT doc_id,
+             md5(array_to_string(list_slice(tokens, i + 1, i + 8), ',')) AS gram_md5
+      FROM s),
+a AS (SELECT gram_md5, count(DISTINCT doc_id)::INT AS n_docs,
+             count(*)::BIGINT AS n_occurrences
+      FROM g GROUP BY 1)
+SELECT gram_md5, n_docs, n_occurrences FROM a WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, gram_md5 ASC LIMIT 20
+"""
+
+
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum decile assignment without a global sort: exact decile
+    boundaries from ONE aggregation broadcast back over the corpus (the
+    ntile-window alternative funnels 100 TB through one task).  Per-decile
+    count + mean length as the digest."""
+    from mongo_bulk_data_migration_spark.functions.sampling import quantile_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    b = quantile_buckets(d, "n_chars", k=10)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+_CURRICULUM_ORACLE = """
+WITH b AS (
+  SELECT [{qs}] AS bs FROM documents
+)
+SELECT (1 + len(list_filter(b.bs, x -> d.n_chars > x)))::INT AS bucket,
+       count(*) AS n_docs, round(avg(d.n_chars), 4) AS avg_chars
+FROM documents d, b GROUP BY 1
+""".format(
+    qs=", ".join(f"quantile_cont(n_chars, {i / 10})" for i in range(1, 10))
+)
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -2308,6 +2476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixing": q_source_mixing,
         "decontaminate": q_decontaminate,
         "vocab_topk": q_vocab_topk,
+        "vocab_remap": q_vocab_remap,
+        "fim_split": q_fim_split,
+        "unigram_entropy": q_unigram_entropy,
+        "ngram_repeats": q_ngram_repeats,
+        "curriculum_buckets": q_curriculum_buckets,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -2373,6 +2546,11 @@ def oracle_sql() -> dict[str, str]:
         "source_mixing": _SOURCE_MIXING_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "vocab_topk": _VOCAB_TOPK_ORACLE,
+        "vocab_remap": _vocab_remap_oracle(),
+        "fim_split": _fim_split_oracle(),
+        "unigram_entropy": _unigram_entropy_oracle(),
+        "ngram_repeats": _ngram_repeats_oracle(),
+        "curriculum_buckets": _CURRICULUM_ORACLE,
         "embedding_neardup": _embedding_neardup_oracle(),
         "ann_bruteforce": _ANN_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),

@@ -80,6 +80,37 @@ def apply_token_transform(
 
 
 # ---------------------------------------------------------------------------
+# Fill-in-middle (FIM) split: deterministic prefix/middle/suffix cut points.
+# ---------------------------------------------------------------------------
+
+
+def _md5_long(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def fim_split(tokens: Column, key: Column) -> dict[str, Column]:
+    """Fill-in-middle training split: two cut points 0 <= c1 <= c2 <= n
+    derived from the document key's md5 (NOT from a random source — the
+    split must be a pure function of the key so replays, resumes, and
+    cluster-size changes reproduce the exact same training example; same
+    determinism contract as functions/sampling.py).
+
+    Returns the three segments as columns: ``prefix = tokens[:c1]``,
+    ``middle = tokens[c1:c2]``, ``suffix = tokens[c2:]``.  Pure per-row
+    higher-order expressions — codegen'd, zero shuffle, embarrassingly
+    parallel at 100 TB.
+    """
+    n = F.size(tokens)
+    c1 = _md5_long(F.concat(key, F.lit(":f1"))) % (n + F.lit(1))
+    c2 = c1 + _md5_long(F.concat(key, F.lit(":f2"))) % (n - c1 + F.lit(1))
+    return {
+        "prefix": F.slice(tokens, F.lit(1), c1),
+        "middle": F.slice(tokens, c1 + F.lit(1), c2 - c1),
+        "suffix": F.slice(tokens, c2 + F.lit(1), n - c2),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Arbitrary-callback tier: Arrow-vectorized, analogous to M4's async callback.
 # ---------------------------------------------------------------------------
 
