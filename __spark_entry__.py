@@ -2263,6 +2263,116 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_cdc_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the Change Data Feed:
+    a per-source (count, sum n_tok) aggregate is initialized once, then kept
+    in sync through a 4-batch MoR replay purely from the commits' change
+    rows (sources/changefeed.py + operators/ivm.py) — the final table is
+    NEVER rescanned.  The maintained view must hash-match a from-scratch
+    GROUP BY of the oracle's final state."""
+    _utc(spark)
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.operators.ivm import init_grouped_agg, maintain
+    from mongo_bulk_data_migration_spark.sources.changefeed import table_changes
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="mbdm_ivm_")
+    cat = Catalog(wh)
+    t = cat.create_table(
+        "sequences", SEQUENCES_SCHEMA, num_buckets=16, properties={"merge_mode": "mor"}
+    )
+    t.append(seqs)
+    v0 = t.current_version()
+    agg = init_grouped_agg(t.read(spark), "source", ["n_tok"])
+    rep = ChangeStreamReplayer(spark, wh, "sequences", "ivm", evolve_schema=False)
+    rep.apply_changes(events, events_per_batch=max(n_events // _IVM_BATCHES, 1))
+    assert t.current_version() > v0
+    view = maintain(agg, table_changes(t, spark, v0), "source", ["n_tok"])
+    return view.select(
+        "source",
+        F.col("n_rows").alias("n_docs"),
+        F.col("sum_n_tok").alias("sum_tok"),
+    )
+
+
+_IVM_BATCHES = 4
+
+
+def _cdc_ivm_oracle() -> str:
+    """Sequential multi-batch oracle: unlike ``_CDC_ORACLE`` (one global
+    last-wins collapse == single-batch replay), the IVM query replays in
+    ``_IVM_BATCHES`` sequential batches, so INTERMEDIATE events apply too
+    (batch 1's transform feeds batch 2's).  The oracle chains one
+    last-wins-collapse + full-outer-merge layer per batch — the same
+    fold the engine performs, in pure ANSI SQL."""
+    head = """
+WITH p AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+seqs AS (
+  SELECT printf('doc%08d', i) AS doc_id,
+         list_transform(generate_series(0, (1 + i % 512) - 1),
+                        j -> ((i * 2654435761 + j) % 50257)::INT) AS tokens,
+         (['web','books','code','wiki'])[(i % 4) + 1] AS source
+  FROM (SELECT unnest(generate_series(0, (SELECT n_docs FROM p) - 1)) AS i)
+),
+ev AS (
+  SELECT e AS seq,
+         (e * 2654435761 + 12345) % (SELECT n_docs + n_docs // 4 FROM p) AS idx
+  FROM (SELECT unnest(generate_series(0, (SELECT 2 * n_docs FROM p) - 1)) AS e)
+),
+events AS (
+  SELECT seq, idx, printf('doc%08d', idx) AS doc_id,
+    seq // (SELECT greatest((2 * n_docs) // {nb}, 1) FROM p) AS batch,
+    CASE WHEN idx >= (SELECT n_docs FROM p) THEN 'insert'
+         WHEN seq % 10 < 8 THEN 'update' ELSE 'delete' END AS op,
+    CASE WHEN seq % 5 = 0 THEN 'append_eos'
+         WHEN seq % 5 = 1 THEN 'drop_first_k'
+         WHEN seq % 5 = 2 THEN 'remap_mod'
+         WHEN seq % 5 = 3 THEN 'set_tokens'
+         ELSE 'truncate' END AS tname,
+    (1 + seq % 7)::INT AS karg,
+    (101 + (seq % 7) * 100)::INT AS marg,
+    list_transform(generate_series(0, (1 + seq % 9) - 1),
+                   j -> ((idx * 2654435761 + j) % 50257)::INT) AS payload
+  FROM ev
+),
+state0 AS (SELECT doc_id, tokens, source FROM seqs)""".format(nb=_IVM_BATCHES)
+    layers = []
+    for b in range(_IVM_BATCHES):
+        layers.append(f""",
+c{b} AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+    FROM events WHERE batch = {b}) WHERE rn = 1
+),
+state{b + 1} AS (
+  SELECT coalesce(s.doc_id, c.doc_id) AS doc_id,
+    CASE
+      WHEN c.doc_id IS NULL THEN s.tokens
+      WHEN c.op = 'insert' THEN c.payload
+      ELSE CASE c.tname
+          WHEN 'append_eos' THEN list_append(s.tokens, 50256::INT)
+          WHEN 'drop_first_k' THEN s.tokens[c.karg + 1:]
+          WHEN 'remap_mod' THEN list_transform(s.tokens, t -> (t % c.marg)::INT)
+          WHEN 'set_tokens' THEN c.payload
+          ELSE s.tokens[:c.karg]
+        END
+    END AS tokens,
+    CASE WHEN c.doc_id IS NOT NULL AND c.op = 'insert' AND s.doc_id IS NULL
+         THEN NULL ELSE s.source END AS source
+  FROM state{b} s FULL OUTER JOIN c{b} c ON s.doc_id = c.doc_id
+  WHERE NOT coalesce(c.op = 'delete' AND s.doc_id IS NOT NULL, false)
+    AND NOT coalesce(c.op IN ('update', 'delete') AND s.doc_id IS NULL, false)
+)""")
+    tail = f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(tokens))::BIGINT AS sum_tok
+FROM state{_IVM_BATCHES} GROUP BY source
+"""
+    return head + "".join(layers) + tail
+
+
 # ---------------------------------------------------------------------------
 # token-array curation operators (operators/tokstats.py) — the corpus ops a
 # pretraining pipeline runs over the engine's native (doc_id, tokens) payload
@@ -2476,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixing": q_source_mixing,
         "decontaminate": q_decontaminate,
         "vocab_topk": q_vocab_topk,
+        "cdc_ivm": q_cdc_ivm,
         "vocab_remap": q_vocab_remap,
         "fim_split": q_fim_split,
         "unigram_entropy": q_unigram_entropy,
@@ -2546,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixing": _SOURCE_MIXING_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "vocab_topk": _VOCAB_TOPK_ORACLE,
+        "cdc_ivm": _cdc_ivm_oracle(),
         "vocab_remap": _vocab_remap_oracle(),
         "fim_split": _fim_split_oracle(),
         "unigram_entropy": _unigram_entropy_oracle(),
