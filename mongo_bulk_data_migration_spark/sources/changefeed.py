@@ -228,3 +228,39 @@ def table_changes(
         # schemas can differ across commits (online evolution mid-range)
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def follow_changes(
+    tbl: LakeTable,
+    spark: SparkSession,
+    from_version: int,
+    poll_interval_s: float = 1.0,
+    max_polls: int | None = None,
+):
+    """Tail the table's commit log: yield ``(version, changes_df)`` for every
+    new commit as it lands — the downstream-consumer analog of the engine's
+    own change-stream tailing (a CDC sink becomes the next pipeline's CDC
+    source).  A metadata-only commit yields an empty frame (still yielded:
+    consumers track the version watermark, not row counts).
+
+    This is a driver-side poller by design: each yielded frame is a normal
+    batch DataFrame the consumer folds at its own pace (e.g. operators/ivm
+    ``maintain``), giving exactly-once per version without streaming-state
+    machinery — resume by persisting the last folded version.  ``max_polls``
+    bounds the loop for tests; ``None`` tails forever.
+    """
+    import time as _time
+
+    last = from_version
+    polls = 0
+    while max_polls is None or polls < max_polls:
+        cur = tbl.current_version()
+        while last < cur:
+            last += 1
+            c = _commit_changes(tbl, spark, last)
+            if c is None:
+                c = table_changes(tbl, spark, last, last)  # empty, typed
+            yield last, c
+        polls += 1
+        if max_polls is None or polls < max_polls:
+            _time.sleep(poll_interval_s)

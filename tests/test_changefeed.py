@@ -104,3 +104,30 @@ def test_grouped_delta_signs(spark):
     df = spark.createDataFrame(rows, ["source", "n_tok", CHANGE_COL])
     out = grouped_delta(df, "source", ["n_tok"]).collect()[0]
     assert out["n_rows"] == 0 and out["sum_n_tok"] == 5 - 7 - 3 + 4
+
+
+def test_follow_changes_tails_incrementally(spark, warehouse):
+    from mongo_bulk_data_migration_spark.sources.changefeed import follow_changes
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(sequences_df(spark, 100, parallelism=2))
+    v0 = t.current_version()
+    agg = init_grouped_agg(t.read(spark), "source", ["n_tok"])
+
+    events = changes_df(spark, 100, 400, n_parts=2, parallelism=2)
+    rep = ChangeStreamReplayer(
+        spark, warehouse, "sequences", "cf-tail", evolve_schema=False,
+        options=MigrationOptions(merge_strategy="auto"),
+    )
+    rep.apply_changes(events, events_per_batch=200)  # 2 commits land
+
+    from mongo_bulk_data_migration_spark.operators.ivm import maintain as _maintain
+
+    seen = []
+    for v, ch in follow_changes(t, spark, v0, poll_interval_s=0.05, max_polls=2):
+        seen.append(v)
+        agg = _maintain(agg, ch, "source", ["n_tok"])
+    assert seen == list(range(v0 + 1, t.current_version() + 1))
+    expected = init_grouped_agg(t.read(spark), "source", ["n_tok"])
+    assert _agg_rows(agg) == _agg_rows(expected)
