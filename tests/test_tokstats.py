@@ -115,3 +115,11 @@ def test_hash_tokenize_is_shuffle_free(spark):
     df = spark.createDataFrame([Row(doc_id="a", text="the quick brown fox")])
     tree = formatted(df.select(hash_tokenize(F.col("text")).alias("t")))
     assert "Exchange" not in tree
+
+
+def test_frequency_remap_corpus_never_enters_the_rank_window(spark, corpus):
+    tree = formatted(frequency_remap(corpus))
+    # the rank map joins back map-side; the only SinglePartition exchange
+    # feeds the Window over the bounded vocab dim, never the corpus
+    assert "BroadcastExchange" in tree
+    assert tree.count("Window") >= 1
