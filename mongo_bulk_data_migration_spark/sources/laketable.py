@@ -130,6 +130,39 @@ def _atomic_write(path: str, content: str) -> None:
     os.replace(tmp, path)
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this snapshot version first.
+
+    The optimistic-concurrency guard every table format needs (Iceberg's
+    atomic metadata swap, Delta's mutual-exclusion on the _delta_log entry):
+    a zombie driver, a speculative job retry, or a second migration writing
+    the same table must FAIL LOUDLY instead of silently clobbering the
+    winner's snapshot file — a lost commit is an exactly-once violation the
+    replay layer cannot detect afterwards.  Callers may re-read the table
+    and re-plan (the engine's contract is single-writer per migration, so
+    in-engine this is always a bug or a zombie, never normal contention).
+    """
+
+
+def _atomic_create(path: str, content: str) -> None:
+    """Write-then-hardlink: fails with CommitConflictError if ``path``
+    already exists (the create-if-absent primitive snapshot commits need;
+    ``os.replace`` would silently last-writer-win)."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent commit: {os.path.basename(path)} already exists"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
 class LakeTable:
     """Handle to one table rooted at ``root``."""
 
@@ -191,8 +224,20 @@ class LakeTable:
         )
 
     def _write_snapshot(self, snap: Snapshot) -> None:
-        _atomic_write(self._snap_path(snap.version), snap.to_json())
-        _atomic_write(os.path.join(self.root, META_DIR, "CURRENT"), str(snap.version))
+        # create-if-absent: losing a version race raises CommitConflictError
+        # BEFORE the CURRENT pointer moves — the loser's data files are
+        # unreferenced orphans (GC'd), never a clobbered snapshot
+        _atomic_create(self._snap_path(snap.version), snap.to_json())
+        cur_path = os.path.join(self.root, META_DIR, "CURRENT")
+        # CURRENT is monotonic (rollback rolls FORWARD to a new version):
+        # never let a slower committer regress the pointer past a version
+        # that won a later race
+        try:
+            cur = int(open(cur_path).read().strip())
+        except (OSError, ValueError):
+            cur = -1
+        if snap.version > cur:
+            _atomic_write(cur_path, str(snap.version))
 
     def _next_snapshot(self, operation: str) -> Snapshot:
         cur = self.snapshot()

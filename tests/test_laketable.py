@@ -155,3 +155,60 @@ def test_widen_column_online(spark, warehouse):
         t.widen_column("n_tok", T.IntegerType())  # narrowing
     with pytest.raises(KeyError):
         t.widen_column("nope", T.LongType())
+
+
+def test_concurrent_commit_conflict_detected(spark, warehouse):
+    """Optimistic concurrency: a racing writer that creates the next
+    snapshot version first must make the slower committer FAIL LOUDLY
+    (lost commits violate exactly-once), and the winner's snapshot plus
+    the CURRENT pointer must survive untouched."""
+    import os
+
+    from mongo_bulk_data_migration_spark.sources.laketable import (
+        CommitConflictError,
+        META_DIR,
+    )
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=2)
+    t.append(sequences_spark(spark, 20))
+    v = t.current_version()
+
+    # both writers read the table and plan the same next version...
+    mine = t._next_snapshot("my-commit")
+    winner = t._next_snapshot("foreign-commit")
+    assert mine.version == winner.version == v + 1
+    # ...the foreign writer lands first
+    t._write_snapshot(winner)
+    # ...and the slower commit must fail loudly, not clobber
+    with pytest.raises(CommitConflictError):
+        t._write_snapshot(mine)
+
+    assert t.snapshot(v + 1).operation == "foreign-commit"
+    cur = int(open(os.path.join(warehouse, "sequences", META_DIR, "CURRENT")).read())
+    assert cur == v + 1
+
+
+def test_current_pointer_never_regresses_on_slow_commit(spark, warehouse):
+    """A commit that wins its version race but lands after a LATER version
+    was committed must not move CURRENT backwards."""
+    import os
+
+    from mongo_bulk_data_migration_spark.sources.laketable import META_DIR, _atomic_write
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=2)
+    t.append(sequences_spark(spark, 10))
+    v = t.current_version()
+    # another writer already advanced CURRENT past what this commit will be
+    snap = t._next_snapshot("slow-commit")
+    _atomic_write(
+        os.path.join(warehouse, "sequences", META_DIR, "CURRENT"), str(v + 50)
+    )
+    with open(t._snap_path(v + 50), "w") as f:
+        fast = t.snapshot(v)
+        fast.version = v + 50
+        f.write(fast.to_json())
+    t._write_snapshot(snap)  # wins its own version file...
+    cur = int(open(os.path.join(warehouse, "sequences", META_DIR, "CURRENT")).read())
+    assert cur == v + 50  # ...but does not regress the pointer
