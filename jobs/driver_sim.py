@@ -42,9 +42,13 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+import time
+
 qs, os_ = entrymod.queries(), entrymod.oracle_sql()
 fail = 0
+t_all = time.monotonic()
 for name in NAMES:
+    t0 = time.monotonic()
     try:
         sdf = qs[name](spark, SF).toPandas()
         s = _canon(sdf)
@@ -58,9 +62,10 @@ for name in NAMES:
         status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             fail += 1
-        print(f"{name}: {status} rows={len(s)}/{len(d)} cols_match={ok_cols} hash_match={ok_hash}")
+        print(f"{name}: {status} rows={len(s)}/{len(d)} cols_match={ok_cols} hash_match={ok_hash} t={time.monotonic() - t0:.1f}s")
     except Exception as e:
         fail += 1
         print(f"{name}: ERR {type(e).__name__}: {str(e)[:200]}")
+print(f"TOTAL {len(NAMES)} queries in {time.monotonic() - t_all:.1f}s, {fail} failures")
 spark.stop()
 sys.exit(1 if fail else 0)
