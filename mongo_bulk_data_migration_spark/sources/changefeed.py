@@ -61,8 +61,18 @@ def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
-def _commit_changes(tbl: LakeTable, spark: SparkSession, v: int) -> DataFrame | None:
-    """Changes introduced by commit ``v`` (vs snapshot ``v-1``)."""
+def _commit_changes(
+    tbl: LakeTable, spark: SparkSession, v: int, columns: list[str] | None = None
+) -> DataFrame | None:
+    """Changes introduced by commit ``v`` (vs snapshot ``v-1``).
+
+    ``columns`` projects the row images to ``key + columns`` BEFORE any
+    join/diff work — change detection then means "changed as observable in
+    the projected columns" (an update touching only unprojected columns is
+    correctly invisible to a consumer that never reads them).  This pushes
+    parquet column pruning into the feed: an aggregate view over 2 scalar
+    columns never deserializes the multi-KB token arrays.
+    """
     prev = tbl.snapshot(v - 1)
     snap = tbl.snapshot(v)
     prev_paths = {f["path"] for f in prev.files}
@@ -76,6 +86,9 @@ def _commit_changes(tbl: LakeTable, spark: SparkSession, v: int) -> DataFrame | 
     key = snap.key_col
     cols = [f.name for f in snap.schema.fields]
     data_cols = [c for c in cols if c != key]
+    if columns is not None:
+        data_cols = [c for c in data_cols if c in set(columns)]
+        cols = [key] + data_cols
 
     added_delta = [f for f in added if f.get("kind") == "delta"]
     added_base = [f for f in added if f.get("kind", "base") == "base"]
@@ -85,7 +98,7 @@ def _commit_changes(tbl: LakeTable, spark: SparkSession, v: int) -> DataFrame | 
         ins = spark.read.schema(snap.schema).parquet(
             *[os.path.join(tbl.root, f["path"]) for f in added_base]
         )
-        return _with_meta(ins, cols, "insert", v)
+        return _with_meta(ins.select(*cols), cols, "insert", v)
 
     if added_delta and not removed and not added_base:
         # merge-on-read commit: delta files carry post-images + tombstones
@@ -203,20 +216,27 @@ def table_changes(
     spark: SparkSession,
     from_version: int,
     to_version: int | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """All row-level changes in commits ``(from_version, to_version]``.
 
     The union stays lazy — one Spark plan over all commits in the range; a
-    consumer that aggregates it (see operators/ivm.py) pays one pass."""
+    consumer that aggregates it (see operators/ivm.py) pays one pass.
+    ``columns`` (optional) projects images to the named data columns — see
+    :func:`_commit_changes`; essential when the payload columns are wide."""
     hi = tbl.current_version() if to_version is None else to_version
     parts = []
     for v in range(from_version + 1, hi + 1):
-        c = _commit_changes(tbl, spark, v)
+        c = _commit_changes(tbl, spark, v, columns=columns)
         if c is not None:
             parts.append(c)
     if not parts:
+        fields = list(tbl.snapshot(hi).schema.fields)
+        if columns is not None:
+            keep = set(columns) | {tbl.snapshot(hi).key_col}
+            fields = [f for f in fields if f.name in keep]
         schema = T.StructType(
-            list(tbl.snapshot(hi).schema.fields)
+            fields
             + [
                 T.StructField(CHANGE_COL, T.StringType(), False),
                 T.StructField(VERSION_COL, T.LongType(), False),
@@ -236,6 +256,7 @@ def follow_changes(
     from_version: int,
     poll_interval_s: float = 1.0,
     max_polls: int | None = None,
+    columns: list[str] | None = None,
 ):
     """Tail the table's commit log: yield ``(version, changes_df)`` for every
     new commit as it lands — the downstream-consumer analog of the engine's
@@ -257,9 +278,9 @@ def follow_changes(
         cur = tbl.current_version()
         while last < cur:
             last += 1
-            c = _commit_changes(tbl, spark, last)
+            c = _commit_changes(tbl, spark, last, columns=columns)
             if c is None:
-                c = table_changes(tbl, spark, last, last)  # empty, typed
+                c = table_changes(tbl, spark, last, last, columns=columns)  # empty, typed
             yield last, c
         polls += 1
         if max_polls is None or polls < max_polls:

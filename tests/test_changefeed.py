@@ -131,3 +131,29 @@ def test_follow_changes_tails_incrementally(spark, warehouse):
     assert seen == list(range(v0 + 1, t.current_version() + 1))
     expected = init_grouped_agg(t.read(spark), "source", ["n_tok"])
     assert _agg_rows(agg) == _agg_rows(expected)
+
+
+def test_column_projected_feed(spark, warehouse):
+    """columns= prunes row images to key+named cols and hides updates that
+    only touch unprojected columns; the IVM result over the pruned feed
+    still equals recompute (the view reads only the projected columns)."""
+    from mongo_bulk_data_migration_spark.sources.changefeed import VERSION_COL
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(sequences_df(spark, 60, parallelism=2))
+    v0 = t.current_version()
+    agg = init_grouped_agg(t.read(spark), "source", ["n_tok"])
+
+    events = changes_df(spark, 60, 240, n_parts=2, parallelism=2)
+    rep = ChangeStreamReplayer(
+        spark, warehouse, "sequences", "cf-proj", evolve_schema=False,
+        options=MigrationOptions(merge_strategy="auto"),
+    )
+    rep.apply_changes(events, events_per_batch=120)
+
+    ch = table_changes(t, spark, v0, columns=["source", "n_tok"])
+    assert set(ch.columns) == {"doc_id", "source", "n_tok", CHANGE_COL, VERSION_COL}
+    view = maintain(agg, ch, "source", ["n_tok"])
+    expected = init_grouped_agg(t.read(spark), "source", ["n_tok"])
+    assert _agg_rows(view) == _agg_rows(expected)
