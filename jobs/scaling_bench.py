@@ -449,7 +449,7 @@ def main() -> None:
 North rule: sustained change-events/sec on a replayed oplog over the
 tokenized-sequence table; scaling efficiency >= 0.8 from N to 4N executors.
 Sandbox stand-in (per BASELINE.md): identical job, fresh JVM each, at
-local[{args.n_cores}] (N) and local[{args.xn_cores}] (4N).
+local[{r_n['cores']}] (N) and local[{r_4n['cores']}] (4N).
 
 Input (deterministic, JVM-generated; see `sources/fixtures.py`):
 {args.docs:,} pre-tokenized sequences (avg ~256 tokens), {n_events:,}
@@ -458,13 +458,13 @@ through the full engine path: HWM filter -> last-wins collapse -> changelog
 pre-image append (first-write-wins) -> bucket-pruned MERGE commit -> HWM
 advance + per-partition lineage metrics.
 
-Median pair (of {len(pairs_for_median)} rule-passing of {len(pairs)}
-interleaved N/4N pairs, commit {commit}):
+Median pair (of {len(pairs_for_median)} rule-passing interleaved N/4N
+pairs, commit {commit}; {len(pairs)} pairs ran this session):
 
 | parallelism | wall (s) | events/sec |
 |---|---|---|
-| local[{args.n_cores}]  (N)  | {r_n['wall_s']} | {r_n['events_per_sec']:,} |
-| local[{args.xn_cores}] (4N) | {r_4n['wall_s']} | {r_4n['events_per_sec']:,} |
+| local[{r_n['cores']}]  (N)  | {r_n['wall_s']} | {r_n['events_per_sec']:,} |
+| local[{r_4n['cores']}] (4N) | {r_4n['wall_s']} | {r_4n['events_per_sec']:,} |
 
 - median pair speedup N -> 4N: **{eff * factor:.2f}x** (ideal {factor:.0f}x)
 - **scaling efficiency: {eff:.3f} (median pair)** (target >= 0.8; at
