@@ -366,6 +366,8 @@ def main() -> None:
         by_sess: dict[str, dict[int, dict]] = {}
         for r in hist:
             if (r.get("n_events") == n_events and "pair" in r
+                    and r.get("n_docs") == args.docs
+                    and r.get("n_batches") == args.batches
                     and r.get("pinned") and r.get("held", True)):
                 by_sess.setdefault(r["commit"], {}).setdefault(
                     r["pair"], {})[r["cores"]] = r
@@ -400,12 +402,13 @@ def main() -> None:
             # engine.  Log the raw rows (already appended above) but leave
             # the standing BENCH/BASELINE.md untouched.
             print(json.dumps({
+                "status": "no_evidence_sheared_only",
                 "pairs": [p["eff"] for p in pairs], "held": False,
                 "md_written": False,
                 "note": "sheared-only session, no rule-passing history for "
                         "this workload; report left unchanged",
-            }))
-            return
+            }), flush=True)
+            raise SystemExit(3)  # consistent with the no-pairs-ran path
     by_eff = sorted(pairs_for_median, key=lambda p: p["eff"])
     med = by_eff[len(by_eff) // 2]
     best = by_eff[-1]
@@ -456,8 +459,8 @@ Sandbox stand-in (per BASELINE.md): identical job, fresh JVM each, at
 local[{r_n['cores']}] (N) and local[{r_4n['cores']}] (4N).
 
 Input (deterministic, JVM-generated; see `sources/fixtures.py`):
-{args.docs:,} pre-tokenized sequences (avg ~256 tokens), {n_events:,}
-skewed insert/update/delete events replayed in {args.batches} micro-batches
+{r_n['n_docs']:,} pre-tokenized sequences (avg ~256 tokens), {n_events:,}
+skewed insert/update/delete events replayed in {r_n['n_batches']} micro-batches
 through the full engine path: HWM filter -> last-wins collapse -> changelog
 pre-image append (first-write-wins) -> bucket-pruned MERGE commit -> HWM
 advance + per-partition lineage metrics.
