@@ -2553,6 +2553,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "no_update_skip": q_no_update_skip,
+        "cdc_merge_compacted": q_cdc_merge_compacted,
+        "lookup_pipeline": q_lookup_pipeline,
+        "nested_roundtrip": q_nested_roundtrip,
+        "cdc_merge_skew": q_cdc_merge_skew,
+        "pandas_callback": q_pandas_callback,
+        "delete_restore": q_delete_restore,
+        "projection_scope": q_projection_scope,
+        "dead_letter": q_dead_letter,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "time_rollup": q_time_rollup,
+        "scd2_intervals": q_scd2_intervals,
+        "quantiles": q_quantiles,
+        "range_join": q_range_join,
+        "stream_windowed": q_stream_windowed,
         "cdc_merge": q_cdc_merge,
         "cdc_merge_mor": q_cdc_merge_mor,
         "time_travel": q_time_travel,
@@ -2603,27 +2619,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_collection": q_delete_collection,
         "unset_rollback": q_unset_rollback,
         "pipeline_update": q_pipeline_update,
-        "no_update_skip": q_no_update_skip,
-        "cdc_merge_compacted": q_cdc_merge_compacted,
-        "lookup_pipeline": q_lookup_pipeline,
-        "nested_roundtrip": q_nested_roundtrip,
-        "cdc_merge_skew": q_cdc_merge_skew,
-        "pandas_callback": q_pandas_callback,
-        "delete_restore": q_delete_restore,
-        "projection_scope": q_projection_scope,
-        "dead_letter": q_dead_letter,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "time_rollup": q_time_rollup,
-        "scd2_intervals": q_scd2_intervals,
-        "quantiles": q_quantiles,
-        "range_join": q_range_join,
-        "stream_windowed": q_stream_windowed,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "no_update_skip": _NO_UPDATE_SKIP_ORACLE,
+        "cdc_merge_compacted": _CDC_ORACLE,
+        "lookup_pipeline": _LOOKUP_PIPELINE_ORACLE,
+        "nested_roundtrip": _NESTED_ROUNDTRIP_ORACLE,
+        "cdc_merge_skew": _CDC_SKEW_ORACLE,
+        "pandas_callback": _PANDAS_CALLBACK_ORACLE,
+        "delete_restore": _DELETE_RESTORE_ORACLE,
+        "projection_scope": _PROJECTION_SCOPE_ORACLE,
+        "dead_letter": _DEAD_LETTER_ORACLE,
+        "asof_join": _ASOF_JOIN_ORACLE,
+        "sessionize": _SESSIONIZE_ORACLE,
+        "time_rollup": _TIME_ROLLUP_ORACLE,
+        "scd2_intervals": _SCD2_ORACLE,
+        "quantiles": _QUANTILES_ORACLE,
+        "range_join": _RANGE_JOIN_ORACLE,
+        "stream_windowed": _STREAM_WINDOWED_ORACLE,
         "cdc_merge": _CDC_ORACLE,
         "cdc_merge_mor": _CDC_ORACLE,
         "time_travel": _TIME_TRAVEL_ORACLE,
@@ -2676,20 +2692,4 @@ def oracle_sql() -> dict[str, str]:
         "delete_collection": _ROLLBACK_ORACLE,
         "unset_rollback": _UNSET_ROLLBACK_ORACLE,
         "pipeline_update": _PIPELINE_UPDATE_ORACLE,
-        "no_update_skip": _NO_UPDATE_SKIP_ORACLE,
-        "cdc_merge_compacted": _CDC_ORACLE,
-        "lookup_pipeline": _LOOKUP_PIPELINE_ORACLE,
-        "nested_roundtrip": _NESTED_ROUNDTRIP_ORACLE,
-        "cdc_merge_skew": _CDC_SKEW_ORACLE,
-        "pandas_callback": _PANDAS_CALLBACK_ORACLE,
-        "delete_restore": _DELETE_RESTORE_ORACLE,
-        "projection_scope": _PROJECTION_SCOPE_ORACLE,
-        "dead_letter": _DEAD_LETTER_ORACLE,
-        "asof_join": _ASOF_JOIN_ORACLE,
-        "sessionize": _SESSIONIZE_ORACLE,
-        "time_rollup": _TIME_ROLLUP_ORACLE,
-        "scd2_intervals": _SCD2_ORACLE,
-        "quantiles": _QUANTILES_ORACLE,
-        "range_join": _RANGE_JOIN_ORACLE,
-        "stream_windowed": _STREAM_WINDOWED_ORACLE,
     }
