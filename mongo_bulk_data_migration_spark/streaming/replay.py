@@ -59,6 +59,25 @@ SCALAR_SET_COLS = ("source", "extra")
 VALID_TRANSFORM_RE = r"^(append_eos|set_tokens|(drop_first_k|remap_mod|truncate):[0-9]+)$"
 
 
+def _valid_event_expr():
+    """B5 validity predicate: which change events are well-formed enough to
+    apply (`AbstractBulkOperationResults.ts:60-73`).  NULL-safe comparisons
+    throughout: a delete event carries NULL transform and NULL tokens, and
+    ``~(col == lit)`` is NULL (not true) for NULL input — with plain equality
+    such rows satisfied NEITHER where(valid) NOR where(~valid) and silently
+    vanished from the batch (caught by the `dead_letter` driver oracle, r3).
+    """
+    return (
+        F.col("op").isin("insert", "update", "delete")
+        & (~F.col("op").eqNullSafe("insert") | F.col("tokens").isNotNull())
+        & (
+            F.col("transform").isNull()
+            | F.col("transform").rlike(VALID_TRANSFORM_RE)
+        )
+        & (~F.col("transform").eqNullSafe("set_tokens") | F.col("tokens").isNotNull())
+    )
+
+
 class ChangeStreamReplayer:
     """Applies an insert/update/delete event stream to a LakeTable."""
 
@@ -134,29 +153,28 @@ class ChangeStreamReplayer:
             # one partitioned write and fold all per-batch stats jobs
             # (lineage collect, staging observation, touched-bucket
             # discovery) into two whole-window aggregations — the per-batch
-            # serial floor drops by ~1/3.  The dead-letter mode keeps the
-            # per-batch path: its row routing happens before the collapse.
-            pre_batches: dict[int, dict[str, Any]] | None = None
-            if not self.config.options.continue_on_bulk_write_error:
-                if self.evolve_schema:
-                    # payload-drift evolution hoisted to the window start:
-                    # all drift is visible in `pending`, and add/widen are
-                    # metadata-only — same final schema as per-batch checks
-                    self._maybe_evolve(target, pending)
-                pre_batches = self._prestage(
-                    target, pending, events_per_batch, os.path.join(root, "staged")
-                )
+            # serial floor drops by ~1/3.  Dead-letter mode (B5) rides the
+            # same path since round 4: the validity split happens inside the
+            # prestage (one partitioned dead-letter write for the whole
+            # window; per-batch dead counts fold into the lineage agg).
+            if self.evolve_schema:
+                # payload-drift evolution hoisted to the window start:
+                # all drift is visible in `pending`, and add/widen are
+                # metadata-only — same final schema as per-batch checks
+                self._maybe_evolve(target, pending)
+            pre_batches = self._prestage(
+                target, pending, events_per_batch, os.path.join(root, "staged")
+            )
             out: list[dict[str, Any]] = []
             for i, b in enumerate(range(first_b, last_b + 1)):
                 if max_batches is not None and i >= max_batches:
                     break
                 lo, hi = b * events_per_batch, (b + 1) * events_per_batch - 1
                 batch = pending.where((F.col("seq") >= lo) & (F.col("seq") <= hi))
-                if pre_batches is not None and b not in pre_batches:
+                if b not in pre_batches:
                     continue  # empty seq range (gap below the HWM)
                 m = self._apply_batch(
-                    target, batch, b, crash_after,
-                    pre=None if pre_batches is None else pre_batches[b],
+                    target, batch, b, crash_after, pre=pre_batches[b],
                 )
                 if m is not None:
                     out.append(m)
@@ -174,6 +192,7 @@ class ChangeStreamReplayer:
         pending: DataFrame,
         events_per_batch: int,
         out_dir: str,
+        forced_batch: int | None = None,
     ) -> dict[int, dict[str, Any]]:
         """Collapse + prepare EVERY batch's merge source in one partitioned
         write (``__batch=<id>/`` directories), then fold all per-batch stats
@@ -185,6 +204,17 @@ class ChangeStreamReplayer:
            the per-batch lineage collect, and is EXACT (the collapsed max
            could only lag it when a key's events span parts).
 
+        Dead-letter mode (B5, ``continue_on_bulk_write_error``): malformed
+        events are split out BEFORE the collapse (a valid earlier event must
+        not be shadowed by a malformed later one — same order as the old
+        per-batch path), written once for the whole window as a
+        ``__batch``-partitioned parquet under the dead-letter root (dynamic
+        partition overwrite keeps earlier windows' batches intact on
+        resume), and per-batch dead counts ride the lineage aggregation —
+        zero extra per-batch jobs.  A batch whose events are ALL malformed
+        gets ``path=None``: no merge source, but its lineage row still
+        advances the HWM (livelock guard, ADVICE r2).
+
         Staging is pure scratch, so crash semantics are unchanged: a resumed
         run re-stages from its own HWM-filtered pending set.
         """
@@ -194,10 +224,18 @@ class ChangeStreamReplayer:
         sc = self.spark.sparkContext
         opts = self.config.options
         epb = max(int(events_per_batch), 1)
+        # forced_batch: streaming epochs are batch-identified by the stream's
+        # epoch id, not by a seq range — the whole frame IS one batch
+        batch_expr = (
+            F.lit(int(forced_batch)).cast("long")
+            if forced_batch is not None else F.expr(f"seq DIV {epb}")
+        )
         sc.setJobDescription("cdc prestage: collapse+stage all batches")
-        with_b = pending.withColumn("__batch", F.expr(f"seq DIV {epb}"))
+        with_b = pending.withColumn("__batch", batch_expr)
+        valid = _valid_event_expr() if opts.continue_on_bulk_write_error else None
+        live = with_b.where(valid) if valid is not None else with_b
         collapsed = last_wins(
-            with_b,
+            live,
             key=target.key_col,
             order="seq",
             n_salt=opts.dedup_salt,
@@ -208,7 +246,9 @@ class ChangeStreamReplayer:
             check_source_types(target, src)
         carry = [c for c in ("seq", "transform", "part") if c in src.columns]
         prepped = _prep_source(target, src, carry).withColumn(
-            "__batch", F.expr(f"__c_seq DIV {epb}")
+            "__batch",
+            F.lit(int(forced_batch)).cast("long")
+            if forced_batch is not None else F.expr(f"__c_seq DIV {epb}"),
         )
         prepped.write.partitionBy("__batch").mode("overwrite").option(
             "compression", "uncompressed"
@@ -226,35 +266,92 @@ class ChangeStreamReplayer:
             F.collect_set(F.col(BUCKET_COL)).alias("touched"),
         ).collect()
         sc.setJobDescription("cdc prestage: per-batch lineage")
+        lineage_aggs = [F.count(F.lit(1)).alias("n"), F.max("seq").alias("max_seq")]
+        if valid is not None:
+            lineage_aggs.append(
+                F.sum(F.when(valid, 0).otherwise(1)).alias("n_dead")
+            )
         lrows = pending.groupBy(
-            F.expr(f"seq DIV {epb}").alias("__batch"), F.col("part")
-        ).agg(
-            F.count(F.lit(1)).alias("n"), F.max("seq").alias("max_seq")
-        ).collect()
+            batch_expr.alias("__batch"), F.col("part")
+        ).agg(*lineage_aggs).collect()
+        if valid is not None and any(int(r["n_dead"]) for r in lrows):
+            # one partitioned write for the whole window; dynamic partition
+            # overwrite keeps dead-letter batches from earlier windows, and
+            # per-batch re-runs after a crash overwrite only their own dir
+            dl_root = os.path.join(
+                self.config.warehouse, "_state", f"deadletter_{self.config.id}"
+            )
+            sc.setJobDescription("cdc prestage: dead-letter write")
+            with_b.where(~valid).withColumn(
+                "__reason", F.lit("malformed-event")
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("__batch").parquet(dl_root)
+            log.warning(
+                "%s malformed events dead-lettered to %s",
+                sum(int(r["n_dead"]) for r in lrows), dl_root,
+            )
         sc.setJobDescription(None)
         stats: dict[int, dict[str, Any]] = {}
-        for r in srows:
+        for r in lrows:
             b = int(r["__batch"])
-            bdir = os.path.join(out_dir, f"__batch={b}")
-            stats[b] = {
-                "path": bdir,
+            st = stats.setdefault(b, {
+                "path": None,  # set below iff the batch staged any rows
                 "schema": batch_schema,
-                "touched": sorted(int(x) for x in (r["touched"] or [])),
-                "staged_bytes": _dir_bytes(bdir),
-                "static_metrics": {
+                "touched": [],
+                "staged_bytes": 0,
+                "static_metrics": {"n_source_keys": 0, "n_src_upserts": 0},
+                "part_hwm": {},
+                "n_events": 0,
+                "n_dead": 0,
+            })
+            st["part_hwm"][int(r["part"])] = int(r["max_seq"])
+            st["n_events"] += int(r["n"])
+            if valid is not None:
+                st["n_dead"] += int(r["n_dead"])
+        for r in srows:
+            st = stats.get(int(r["__batch"]))
+            if st is None:
+                continue  # unreachable: staged rows derive from pending
+            bdir = os.path.join(out_dir, f"__batch={int(r['__batch'])}")
+            st.update(
+                path=bdir,
+                touched=sorted(int(x) for x in (r["touched"] or [])),
+                staged_bytes=_dir_bytes(bdir),
+                static_metrics={
                     "n_source_keys": int(r["n_source_keys"]),
                     "n_src_upserts": int(r["n_src_upserts"]),
                 },
-                "part_hwm": {},
-                "n_events": 0,
-            }
-        for r in lrows:
-            st = stats.get(int(r["__batch"]))
-            if st is None:
-                continue  # unreachable: collapse keeps >=1 row per raw key
-            st["part_hwm"][int(r["part"])] = int(r["max_seq"])
-            st["n_events"] += int(r["n"])
+            )
         return stats
+
+    def apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> dict[str, Any] | None:
+        """One stream epoch == one engine batch (the ``foreachBatch`` bridge
+        used by :class:`.structured.StreamingIngest`).  The epoch rides the
+        SAME prestage as seq-range replay — identical job-count floor and
+        dead-letter semantics — with the stream's epoch id as the batch id,
+        so Structured Streaming's replay-after-crash hits the engine's
+        applied-marker no-op exactly like a seq-range re-run."""
+        import shutil
+        import uuid
+
+        target = self.catalog.load_table(self.config.collection_name)
+        if self.evolve_schema:
+            self._maybe_evolve(target, batch_df)
+        root = os.path.join(
+            self.config.warehouse, "_tmp", f"epoch-{uuid.uuid4().hex}"
+        )
+        try:
+            stats = self._prestage(
+                target, batch_df, 1, os.path.join(root, "staged"),
+                forced_batch=int(epoch_id),
+            )
+            pre = stats.get(int(epoch_id))
+            if pre is None:
+                return None  # empty epoch
+            return self._apply_batch(target, batch_df, int(epoch_id), pre=pre)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
     def _apply_batch(
         self,
@@ -264,8 +361,6 @@ class ChangeStreamReplayer:
         crash_after: tuple[int, str] | None = None,
         pre: dict[str, Any] | None = None,
     ) -> dict[str, Any] | None:
-        from pyspark.sql import Observation
-
         t0 = time.monotonic()
         cfg = self.config
 
@@ -304,33 +399,45 @@ class ChangeStreamReplayer:
             return m
 
         n_backups = 0
-        n_dead = 0
         merge_metrics: dict[str, Any] = {}
         t_plan = t_changelog = t_merge = 0.0
         sc = self.spark.sparkContext
-        if pre is not None:
-            # prestaged path: evolution hoisted to the window start, source
-            # already collapsed/prepared, stats precomputed — zero per-batch
-            # staging or lineage jobs
-            if not pre["part_hwm"]:
-                return None
-            src = None
-        else:
-            if self.evolve_schema:
-                self._maybe_evolve(target, batch)
-            raw_batch = batch
-            if cfg.options.continue_on_bulk_write_error:
-                # B5: malformed events route to a dead-letter table instead
-                # of failing the batch (`AbstractBulkOperationResults.ts:60-73`);
-                # the batch commit itself stays all-or-nothing.
-                batch, n_dead = self._dead_letter(batch, batch_id)
-            # the raw-event count rides the staging write via an Observation
-            # (filled by the first full-scan job over the batch — no
-            # dedicated lineage job; `part` is carried through the collapse
-            # so per-part HWMs come from the tiny staged source instead)
-            o_ev = Observation(f"cdc-b{batch_id}-events")
-            batch = batch.observe(o_ev, F.count(F.lit(1)).alias("n_events"))
-            src = self._build_source(target, batch)
+        # prestaged path (the only path since round 4): evolution hoisted to
+        # the window start, source already collapsed/prepared, stats (incl.
+        # per-batch dead-letter counts) precomputed — zero per-batch staging
+        # or lineage jobs
+        if not pre["part_hwm"]:
+            return None
+        n_dead = int(pre.get("n_dead", 0))
+        part_hwm = dict(pre["part_hwm"])
+        n_events = int(pre["n_events"])
+        if pre["path"] is None:
+            # every event in this batch was dead-lettered (B5): nothing to
+            # merge, but the HWM must still advance past them — otherwise
+            # every later run re-filters and re-dead-letters the same
+            # malformed events forever (livelock, ADVICE r2).  The
+            # dead-letter write is idempotent (dynamic partition overwrite),
+            # so a crash before this advance replays cleanly.
+            if crash_after and crash_after == (batch_id, "merge"):
+                raise SimulatedCrash(batch_id, "merge")
+            self.hwm.advance(part_hwm, batch_id)
+            wall = time.monotonic() - t0
+            m = {
+                "migration_id": cfg.id,
+                "batch_id": batch_id,
+                "n_events": int(n_events),
+                "n_parts": len(part_hwm),
+                "part_hwm": part_hwm,
+                "max_seq": max(part_hwm.values()),
+                "n_backups": 0,
+                "n_dead_lettered": int(n_dead),
+                "replayed": False,
+                "wall_s": round(wall, 4),
+                "events_per_sec": round(n_events / wall, 1) if wall > 0 else None,
+            }
+            self.metrics.emit(m)
+            return m
+        src = None
         t1 = time.monotonic()
         sc.setJobDescription(f"cdc b{batch_id}: plan+stage")
         plan = build_merge_plan(
@@ -346,24 +453,6 @@ class ChangeStreamReplayer:
             prestaged=pre,
         )
         t_plan = time.monotonic() - t1
-        if pre is not None:
-            part_hwm = dict(pre["part_hwm"])
-            n_events = int(pre["n_events"])
-        else:
-            sc.setJobDescription(f"cdc b{batch_id}: lineage")
-            # per-partition lineage from the staged collapsed source: max seq
-            # per part survives the last-wins collapse whenever a key's
-            # events stay in one part (the CDC shard model); if not, the
-            # collapsed max can only LAG the raw max, which is safe — the
-            # batch marker makes any re-filtered events replay as no-ops.
-            part_rows = plan.source.groupBy("__c_part").agg(
-                F.max("__c_seq").alias("max_seq")
-            ).collect()
-            if not part_rows:
-                plan.release()
-                return self._advance_past_dead(raw_batch, batch_id, n_dead, t0)
-            n_events = int(observed(o_ev).get("n_events") or 0) + n_dead
-            part_hwm = {int(r["__c_part"]): int(r["max_seq"]) for r in part_rows}
         max_seq = max(part_hwm.values())
         t_lineage = time.monotonic() - t0 - t_plan
         try:
@@ -428,73 +517,6 @@ class ChangeStreamReplayer:
 
     # ------------------------------------------------------------------
 
-    def _advance_past_dead(
-        self, raw_batch: DataFrame, batch_id: int, n_dead: int, t0: float
-    ) -> dict[str, Any] | None:
-        """Empty collapsed source: nothing to merge — but if the batch HAD
-        events (all dead-lettered under continue_on_bulk_write_error), the
-        HWM must still advance past them.  Otherwise every subsequent
-        ``apply_changes`` call re-filters, re-dead-letters, and re-plans the
-        same malformed events forever — a silent livelock in exactly the
-        keep-going-on-bad-data mode (ADVICE r2).  The dead-letter write is
-        idempotent (mode=overwrite per batch dir), so a crash before this
-        advance replays cleanly."""
-        if not n_dead:
-            return None  # genuinely empty seq range
-        part_rows = raw_batch.groupBy("part").agg(
-            F.max("seq").alias("max_seq")
-        ).collect()
-        if not part_rows:
-            return None
-        part_hwm = {int(r["part"]): int(r["max_seq"]) for r in part_rows}
-        self.hwm.advance(part_hwm, batch_id)
-        wall = time.monotonic() - t0
-        m = {
-            "migration_id": self.config.id,
-            "batch_id": batch_id,
-            "n_events": int(n_dead),
-            "n_parts": len(part_hwm),
-            "part_hwm": part_hwm,
-            "max_seq": max(part_hwm.values()),
-            "n_backups": 0,
-            "n_dead_lettered": int(n_dead),
-            "replayed": False,
-            "wall_s": round(wall, 4),
-            "events_per_sec": round(n_dead / wall, 1) if wall > 0 else None,
-        }
-        self.metrics.emit(m)
-        return m
-
-    def _dead_letter(self, batch: DataFrame, batch_id: int):
-        """Split malformed events out to `<warehouse>/_state/deadletter_<id>/`."""
-        # NULL-safe comparisons throughout: a delete event carries NULL
-        # transform and NULL tokens, and `~(col == lit)` is NULL (not true)
-        # for NULL input — with plain equality such rows satisfied NEITHER
-        # where(valid) NOR where(~valid) and silently vanished from the
-        # batch (caught by the `dead_letter` driver oracle, round 3)
-        valid = (
-            F.col("op").isin("insert", "update", "delete")
-            & (~F.col("op").eqNullSafe("insert") | F.col("tokens").isNotNull())
-            & (
-                F.col("transform").isNull()
-                | F.col("transform").rlike(VALID_TRANSFORM_RE)
-            )
-            & (~F.col("transform").eqNullSafe("set_tokens") | F.col("tokens").isNotNull())
-        )
-        bad = batch.where(~valid)
-        n_bad = bad.count()
-        if n_bad:
-            out = os.path.join(
-                self.config.warehouse, "_state", f"deadletter_{self.config.id}",
-                f"batch-{batch_id}",
-            )
-            bad.withColumn("__reason", F.lit("malformed-event")).write.mode(
-                "overwrite"
-            ).parquet(out)
-            log.warning("batch %s: %s malformed events dead-lettered to %s",
-                        batch_id, n_bad, out)
-        return batch.where(valid), n_bad
-
     def _maybe_evolve(self, target: LakeTable, batch: DataFrame) -> None:
         """Online schema evolution driven by event payload drift: ADD COLUMN
         for new scalar payload fields, WIDEN COLUMN (int->long etc.) when the
@@ -515,17 +537,6 @@ class ChangeStreamReplayer:
                     f.dataType.simpleString(), batch.schema[f.name].dataType.simpleString(),
                 )
                 target.widen_column(f.name, batch.schema[f.name].dataType)
-
-    def _build_source(self, target: LakeTable, batch: DataFrame) -> DataFrame:
-        """Collapse last-wins and map CDC ops to merge ops.
-
-        insert -> 'put' (full-row upsert); update -> 'update' (expressions
-        against the matched target row); delete -> 'delete'.
-        """
-        collapsed = last_wins(
-            batch, key=target.key_col, order="seq", n_salt=self.config.options.dedup_salt
-        )
-        return self._map_ops(collapsed)
 
     def _map_ops(self, collapsed: DataFrame) -> DataFrame:
         """Map CDC ops on a collapsed event frame to merge ops."""

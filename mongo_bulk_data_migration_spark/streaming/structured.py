@@ -45,8 +45,7 @@ class StreamingIngest:
     def _apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         # one stream epoch == one engine batch; the engine's applied-marker
         # check turns Structured Streaming's replay-after-crash into a no-op
-        target = self.replayer.catalog.load_table(self.replayer.config.collection_name)
-        self.replayer._apply_batch(target, batch_df, int(epoch_id))
+        self.replayer.apply_epoch(batch_df, int(epoch_id))
 
     def start(self, stream_df: DataFrame, trigger_seconds: int | None = None):
         """``stream_df`` must be a streaming DataFrame with the T2 schema."""

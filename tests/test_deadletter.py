@@ -46,8 +46,10 @@ def test_dead_letter_routing(spark, warehouse):
     assert got["doc00000002"]["tokens"] == rows[2]["tokens"]  # bad skipped
     assert "doc99999999" not in got
 
-    dl = os.path.join(warehouse, "_state", "deadletter_dl1", "batch-0")
-    dead = spark.read.parquet(dl)
+    # round 4: one __batch-partitioned table for the whole window (written
+    # once by the prestage, dynamic-partition-overwritten on replay)
+    dl = os.path.join(warehouse, "_state", "deadletter_dl1")
+    dead = spark.read.parquet(dl).where("__batch = 0")
     assert dead.count() == 3
     assert set(dead.select("doc_id").toPandas()["doc_id"]) == {
         "doc00000002", "doc00000003", "doc99999999"

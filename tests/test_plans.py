@@ -146,12 +146,19 @@ def test_mor_read_broadcasts_small_delta(spark, tmp_path):
     assert "SortMergeJoin" not in text
 
 
-def test_replay_per_batch_job_count_bounded(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("dead_letter_mode", [False, True])
+def test_replay_per_batch_job_count_bounded(spark, tmp_path, dead_letter_mode):
     """Serial-floor contract (round 3): the prestage path must keep the
     per-batch Spark job count bounded — each job carries fixed scheduling/
     planning cost that becomes the Amdahl serial term capping N->4N scaling.
     Budget: ~6 prestage jobs once per window + ~11-13 jobs per batch (plan+
-    stage 2, changelog ~5, merge-commit ~4, plus AQE variance)."""
+    stage 2, changelog ~5, merge-commit ~4, plus AQE variance).  Round 4:
+    dead-letter mode (B5) rides the same prestage path and must meet the
+    SAME budget (its validity split is folded into the window-level collapse
+    and lineage jobs, not paid per batch)."""
     from mongo_bulk_data_migration_spark import Catalog
     from mongo_bulk_data_migration_spark.plans.migration import MigrationOptions
     from mongo_bulk_data_migration_spark.sources.fixtures import (
@@ -168,15 +175,20 @@ def test_replay_per_batch_job_count_bounded(spark, tmp_path):
     events = changes_df(spark, 500, 2000, n_parts=4, parallelism=4)
     rep = ChangeStreamReplayer(
         spark, wh, "sequences", "jobcount", evolve_schema=False,
-        options=MigrationOptions(merge_strategy="broadcast"),
+        options=MigrationOptions(
+            merge_strategy="broadcast",
+            continue_on_bulk_write_error=dead_letter_mode,
+        ),
     )
     sc = spark.sparkContext
-    sc.setJobGroup("floor-audit", "per-batch job count contract")
+    group = f"floor-audit-{dead_letter_mode}"  # unique per param: the
+    # status tracker accumulates job ids per group across the session
+    sc.setJobGroup(group, "per-batch job count contract")
     try:
         ms = rep.apply_changes(events, events_per_batch=500)
     finally:
         sc.setJobGroup(None, None)
     assert len(ms) == 4
-    n_jobs = len(sc.statusTracker().getJobIdsForGroup("floor-audit"))
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
     # 4 batches: 6 (prestage) + 4 * 13 = 58; headroom for AQE stage variance
     assert n_jobs <= 70, f"per-batch job count regressed: {n_jobs} jobs for 4 batches"
