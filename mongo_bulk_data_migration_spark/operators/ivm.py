@@ -80,3 +80,157 @@ def maintain(
 ) -> DataFrame:
     """agg(v1) from agg(v0) + the change feed covering (v0, v1]."""
     return apply_delta(agg, grouped_delta(changes, group_col, sum_cols), group_col, sum_cols)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed follower: the sink -> source loop
+# ---------------------------------------------------------------------------
+
+class MaterializedGroupedView:
+    """A persistent incremental materialized view over a LakeTable's Change
+    Data Feed, with a checkpointed last-folded-version — the sink->source
+    loop the module doc promises: a CDC sink (the LakeTable) becomes the
+    next consumer's CDC source, and the consumer survives restarts.
+
+    Layout (all under ``view_dir``)::
+
+        state-v<version>/   parquet of the aggregate AS OF table version
+        _CURRENT            atomic pointer file: {"version": <v>}
+
+    Exactly-once across crashes without streaming-state machinery: a refresh
+    (1) writes the new aggregate to a fresh ``state-v<hi>`` directory, then
+    (2) atomically flips ``_CURRENT``.  A crash between (1) and (2) leaves a
+    dangling state dir the next refresh simply overwrites — the pointer
+    never references partial data, so fold-version semantics are exactly
+    once *effectively* (same contract as the engine's applied markers,
+    ``streaming/replay.py``).
+
+    ``max_commits_per_refresh`` rate-limits a backlog: each chunk folds and
+    checkpoints independently, so a follower that dies mid-backlog resumes
+    from the last folded chunk instead of re-reading the whole range.
+    """
+
+    POINTER = "_CURRENT"
+
+    def __init__(
+        self,
+        spark,
+        tbl,
+        view_dir: str,
+        group_col: str,
+        sum_cols: list[str],
+        columns: list[str] | None = None,
+        max_commits_per_refresh: int | None = None,
+    ):
+        import os
+
+        self.spark = spark
+        self.tbl = tbl
+        self.view_dir = view_dir
+        self.group_col = group_col
+        self.sum_cols = list(sum_cols)
+        # project the feed to exactly what the aggregate reads (column
+        # pruning reaches the changefeed's parquet scans)
+        self.columns = columns if columns is not None else [group_col, *sum_cols]
+        self.max_commits = max_commits_per_refresh
+        os.makedirs(view_dir, exist_ok=True)
+
+    # -- checkpoint ----------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        import os
+
+        return os.path.join(self.view_dir, self.POINTER)
+
+    def folded_version(self) -> int | None:
+        """Last table version folded into the persisted view (the resume
+        point), or None before :meth:`initialize`."""
+        import json
+        import os
+
+        p = self._pointer_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(json.load(f)["version"])
+
+    def _state_dir(self, version: int) -> str:
+        import os
+
+        return os.path.join(self.view_dir, f"state-v{version}")
+
+    def _flip(self, version: int) -> None:
+        """Atomic pointer move (same write-rename discipline as the
+        LakeTable's snapshot commits, `sources/laketable.py:124-146`)."""
+        import json
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.view_dir, prefix=".ptr-")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({"version": int(version)}))
+        os.replace(tmp, self._pointer_path())
+
+    # -- lifecycle -----------------------------------------------------
+
+    def initialize(self) -> int:
+        """One-time O(table) init scan at the table's current version."""
+        v = self.tbl.current_version()
+        agg = init_grouped_agg(
+            self.tbl.read(self.spark), self.group_col, self.sum_cols
+        )
+        agg.write.mode("overwrite").parquet(self._state_dir(v))
+        self._flip(v)
+        return v
+
+    def read(self):
+        """The view at its checkpointed version."""
+        v = self.folded_version()
+        if v is None:
+            raise ValueError("view not initialized; call initialize() first")
+        return self.spark.read.parquet(self._state_dir(v))
+
+    def refresh(self) -> int:
+        """Fold all commits past the checkpoint (rate-limited chunks).
+
+        Returns the new folded version.  Each chunk is an independent
+        fold+flip, so interruption mid-backlog loses at most one chunk of
+        work, never the view."""
+        from ..sources.changefeed import table_changes
+
+        v = self.folded_version()
+        if v is None:
+            raise ValueError("view not initialized; call initialize() first")
+        cur = self.tbl.current_version()
+        while v < cur:
+            hi = cur if self.max_commits is None else min(v + self.max_commits, cur)
+            changes = table_changes(
+                self.tbl, self.spark, v, hi, columns=self.columns
+            )
+            new_agg = maintain(self.read(), changes, self.group_col, self.sum_cols)
+            new_agg.write.mode("overwrite").parquet(self._state_dir(hi))
+            old = self._state_dir(v)
+            self._flip(hi)
+            self._gc(old)
+            v = hi
+        return v
+
+    def follow(self, poll_interval_s: float = 1.0, max_polls: int | None = None):
+        """Tail the commit log: refresh whenever new commits land.  Yields
+        the folded version after each poll (bounded by ``max_polls`` for
+        tests; ``None`` tails forever — the foreachBatch-style driver loop
+        of `sources/changefeed.py:follow_changes`, plus checkpointing)."""
+        import time as _time
+
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            yield self.refresh()
+            polls += 1
+            if max_polls is None or polls < max_polls:
+                _time.sleep(poll_interval_s)
+
+    def _gc(self, old_state_dir: str) -> None:
+        import shutil
+
+        if old_state_dir != self._state_dir(self.folded_version()):
+            shutil.rmtree(old_state_dir, ignore_errors=True)

@@ -157,3 +157,82 @@ def test_column_projected_feed(spark, warehouse):
     view = maintain(agg, ch, "source", ["n_tok"])
     expected = init_grouped_agg(t.read(spark), "source", ["n_tok"])
     assert _agg_rows(view) == _agg_rows(expected)
+
+
+def test_materialized_view_checkpointed_restart(spark, warehouse, tmp_path):
+    """VERDICT r3 #5: the checkpointed follower closes the sink->source loop.
+    An IVM view maintained via the stream must equal recompute after a
+    mid-stream restart: fold part of the backlog, 'crash' (drop the follower
+    object, keep only its on-disk checkpoint), construct a FRESH follower,
+    and continue — including a torn refresh (dangling state dir, pointer not
+    flipped), which the restart must absorb."""
+    import os
+
+    from mongo_bulk_data_migration_spark.operators.ivm import MaterializedGroupedView
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(sequences_df(spark, 200, parallelism=2))
+
+    view_dir = str(tmp_path / "mv")
+    mv = MaterializedGroupedView(
+        spark, t, view_dir, "source", ["n_tok"], max_commits_per_refresh=1
+    )
+    v_init = mv.initialize()
+    assert mv.folded_version() == v_init
+
+    events = changes_df(spark, 200, 800, n_parts=2, parallelism=2)
+    rep = ChangeStreamReplayer(
+        spark, warehouse, "sequences", "mv-restart", evolve_schema=False,
+        options=MigrationOptions(merge_strategy="auto"),
+    )
+    rep.apply_changes(events, events_per_batch=200, max_batches=2)  # 2 commits
+
+    # fold exactly ONE chunk of the 2-commit backlog, then "crash" mid-
+    # refresh: refresh() checkpoints after every chunk (rate limit = 1
+    # commit), so killing the second chunk's fold must leave the first
+    # chunk's checkpoint intact
+    import mongo_bulk_data_migration_spark.operators.ivm as ivm_mod
+
+    calls = {"n": 0}
+    real_maintain = ivm_mod.maintain
+
+    def exploding_maintain(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-backlog")
+        return real_maintain(*a, **k)
+
+    ivm_mod.maintain = exploding_maintain
+    try:
+        try:
+            mv.refresh()
+            raise AssertionError("expected simulated crash")
+        except RuntimeError:
+            pass
+    finally:
+        ivm_mod.maintain = real_maintain
+
+    # exactly one chunk folded and checkpointed before the crash
+    assert mv.folded_version() == v_init + 1
+
+    # torn-refresh artifact: a state dir whose pointer flip never happened —
+    # the restarted follower must overwrite it, never trust it
+    os.makedirs(os.path.join(view_dir, f"state-v{v_init + 2}"), exist_ok=True)
+
+    # more commits land while the follower is down
+    rep.apply_changes(events, events_per_batch=200)  # remaining 2 commits
+
+    # FRESH follower (new object, same dirs) resumes from the checkpoint
+    mv2 = MaterializedGroupedView(
+        spark, t, view_dir, "source", ["n_tok"], max_commits_per_refresh=1
+    )
+    assert mv2.folded_version() == v_init + 1
+    final = list(mv2.follow(poll_interval_s=0.01, max_polls=1))[-1]
+    assert final == t.current_version()
+
+    expected = init_grouped_agg(t.read(spark), "source", ["n_tok"])
+    assert _agg_rows(mv2.read()) == _agg_rows(expected)
+    # old state dirs were garbage-collected; only the current one remains
+    states = [d for d in os.listdir(view_dir) if d.startswith("state-v")]
+    assert states == [f"state-v{final}"]
