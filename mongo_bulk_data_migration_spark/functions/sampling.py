@@ -82,6 +82,8 @@ def quantile_buckets(
     col: str,
     k: int = 10,
     bucket_col: str = "bucket",
+    approx: bool = False,
+    accuracy: int = 10_000,
 ):
     """Curriculum bucketing: assign every row its exact k-quantile bucket of
     ``col`` (1..k) WITHOUT a global sort.
@@ -95,14 +97,26 @@ def quantile_buckets(
     the boundary row is the only driver-sized state (same bounded class as
     k-means centroids).
 
-    Exact percentile (sort-based) keeps the oracle checkable; at production
-    scale swap ``approx_percentile`` (t-digest, one pass, mergeable) — the
-    assignment expression is unchanged.
+    Exact percentile (sort-based) keeps the oracle checkable; ``approx=True``
+    is the production-scale tier: ``approx_percentile`` (Greenwald-Khanna
+    sketch — one pass, mergeable map-side, memory O(accuracy) per partition
+    instead of a per-group sort buffer), with rank error bounded by
+     1/``accuracy`` of the row count.  The assignment expression is unchanged
+    — only the boundary computation swaps, so the two tiers can be verified
+    against each other (``tests/test_tokstats.py``).
     """
     probs = [i / k for i in range(1, k)]
-    bounds = df.agg(
-        F.array(*[F.percentile(F.col(col), p) for p in probs]).alias("__bs")
-    )
+    if approx:
+        pct = F.approx_percentile(
+            F.col(col).cast("double"),
+            F.array(*[F.lit(p) for p in probs]),
+            F.lit(int(accuracy)),
+        )
+        bounds = df.agg(pct.alias("__bs"))
+    else:
+        bounds = df.agg(
+            F.array(*[F.percentile(F.col(col), p) for p in probs]).alias("__bs")
+        )
     return df.join(F.broadcast(bounds)).withColumn(
         bucket_col,
         (

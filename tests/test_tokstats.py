@@ -102,6 +102,38 @@ def test_quantile_buckets_monotone_and_balanced(spark):
     assert max(c.values()) - min(c.values()) <= 2  # near-equal buckets
 
 
+def test_quantile_buckets_approx_tier_bounded_rank_error(spark):
+    """VERDICT r3 #6: the approx_percentile (Greenwald-Khanna) tier must
+    agree with the exact tier up to the sketch's rank-error bound.  With
+    accuracy A on N rows, each boundary's rank error is <= N/A, so at most
+    (k-1) * ceil(N/A) rows can land in a different bucket; assert with 2x
+    slack.  Also pins the scale contract: the approx plan stays one
+    aggregation + broadcast (no Window/global Sort)."""
+    import math
+
+    n, k, acc = 50_000, 10, 10_000
+    # skewed, duplicate-heavy values — the hard case for rank sketches
+    df = spark.range(n).select(
+        (F.pow(F.col("id") % 1000, F.lit(1.7)).cast("long")).alias("v")
+    )
+    # join-free comparison: bucket is a pure function of v, so compare per v
+    ex = {r["v"]: r["bucket"] for r in quantile_buckets(df, "v", k=k).dropDuplicates(["v"]).collect()}
+    ap = {r["v"]: r["bucket"] for r in
+          quantile_buckets(df, "v", k=k, approx=True, accuracy=acc).dropDuplicates(["v"]).collect()}
+    assert set(ex) == set(ap)
+    counts = {r["v"]: r["n"] for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    mismatched_rows = sum(counts[v] for v in ex if ex[v] != ap[v])
+    bound = 2 * (k - 1) * math.ceil(n / acc)
+    assert mismatched_rows <= bound, (mismatched_rows, bound)
+    # buckets stay monotone in v under the sketch tier
+    mono = sorted(ap.items())
+    assert [b for _, b in mono] == sorted(b for _, b in mono)
+    # plan contract: same shape as the exact tier
+    tree = formatted(quantile_buckets(df, "v", k=k, approx=True, accuracy=acc))
+    assert "Window" not in tree
+    assert "BroadcastExchange" in tree or "BroadcastNestedLoop" in tree
+
+
 def test_quantile_buckets_plan_has_no_window_or_global_sort(spark):
     df = spark.range(1000).select(F.col("id").alias("v"))
     tree = formatted(quantile_buckets(df, "v", k=10))
