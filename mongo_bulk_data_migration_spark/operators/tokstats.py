@@ -67,6 +67,48 @@ def hash_tokenize_sql(text_expr: str = "text", vocab_n: int = 32768) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _distributed_rank(dim: DataFrame, order: list[Column]) -> DataFrame:
+    """Exact dense 0-based global rank of ``dim`` rows under a strict total
+    ``order``, with NO single-partition window (VERDICT r3 #7).
+
+    Two-level: (1) ``repartitionByRange`` over the sort key assigns
+    order-contiguous ranges to ascending partition ids (sampled boundaries —
+    balanced even under Zipf count skew, where a count-range bucketing would
+    put half the vocabulary in the hapax bucket); (2) ``row_number`` within
+    each partition (window partitioned by the captured partition id — every
+    partition ranks in parallel); (3) per-partition row counts (a <=P-row
+    dim) prefix-summed with a broadcast self-join, no window at all; rank =
+    partition offset + in-partition row_number - 1.  This is the classic
+    distributed zipWithIndex, expressed declaratively.
+
+    Returns ``dim``'s columns plus ``new_id`` (int).  ``order`` must be a
+    strict total order (no ties) for the result to be deterministic.
+    """
+    sess = dim.sparkSession
+    n_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = dim.repartitionByRange(n_parts, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order)
+    in_rank = parts.withColumn("__r", F.row_number().over(w_in))
+    totals = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    offs = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+    )
+    return (
+        in_rank.join(F.broadcast(offs), "__pid")
+        .withColumn("new_id", (F.col("__off") + F.col("__r") - 1).cast("int"))
+        .drop("__pid", "__r", "__off")
+    )
+
+
 def frequency_remap(
     df: DataFrame, key_col: str = "doc_id", tokens_col: str = "tokens"
 ) -> DataFrame:
@@ -75,17 +117,18 @@ def frequency_remap(
     remapped array — positions preserved.
 
     Plan: explode once -> vocab hash-agg (bounded dim) -> rank the DIM with
-    a single-task window (|V| rows, never the corpus) -> broadcast the rank
+    a two-level distributed rank (range-partition by the sort key, row_number
+    within each partition, offset by the partition-count prefix sums — the
+    classic distributed zipWithIndex; NO single-task window even over the
+    dim, so a 5M-token vocabulary ranks in parallel) -> broadcast the rank
     map back -> reassemble via groupBy(doc) + array_sort over (pos, id)
     structs.  One corpus shuffle total.
     """
     toks = df.select(key_col, F.posexplode(tokens_col).alias("pos", "tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    # |V| is bounded; rank the dim, not the corpus (see module scale notes)
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    rank_map = vocab.select(
-        "tok", (F.row_number().over(w) - F.lit(1)).cast("int").alias("new_id")
-    )
+    rank_map = _distributed_rank(
+        vocab, order=[F.desc("n"), F.asc("tok")]
+    ).select("tok", "new_id")
     return (
         toks.join(F.broadcast(rank_map), "tok")
         .groupBy(key_col)
