@@ -358,3 +358,86 @@ def test_changelog_compaction_preserves_rollback(spark, warehouse):
 
     rep.rollback()
     assert rows_of(cat.load_table("seq").read(spark)) == initial
+
+
+def test_mor_auto_compaction_bounds_layers(spark, warehouse):
+    """VERDICT r3 #8: a long MoR replay must not grow delta layers without
+    bound — run_merge auto-compacts when layers exceed the table's
+    `auto_compact_layers` cadence property.  Final state still equals the
+    oracle simulator (compaction is logically invisible)."""
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "seq", SEQUENCES_SCHEMA, num_buckets=8,
+        properties={"merge_mode": "mor", "auto_compact_layers": 2},
+    )
+    rows = make_sequences(N_DOCS)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+    events = make_changes(N_DOCS, 800, n_parts=8, n_batches=8, seed=7)
+    sim = OracleSimulator(rows)
+
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "morac")
+    rep.apply_changes(changes_spark(spark, events), events_per_batch=100)  # 8 batches
+    sim_apply_all(sim, events, per_batch=100)
+
+    # the cadence held: never more than k+1 layers existed at any commit
+    # (the +1 is the batch that trips the threshold before its compact)
+    t = cat.load_table("seq")
+    for v in t.history():
+        snap = t.snapshot(v)
+        layers = len({f["dseq"] for f in snap.files if f.get("kind") == "delta"})
+        assert layers <= 3, f"version {v}: {layers} delta layers"
+    compare(spark, t, sim)
+
+
+def test_multibatch_rollback_is_bucket_pruned(spark, warehouse):
+    """VERDICT r3 #10: a multi-batch rollback must stay inside the buckets
+    the migration touched — the changelog MANIFEST carries the touched
+    union (no data scan), the changelog read is pruned to it, and the
+    rollback commit rewrites only those target buckets."""
+    from mongo_bulk_data_migration_spark.plans.changelog import Changelog
+    from mongo_bulk_data_migration_spark.sources.fixtures import CHANGES_SCHEMA
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=16)
+    rows = make_sequences(200)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+    initial = rows_of(t.read(spark))
+
+    # events confined to 6 specific docs -> a strict subset of the 16 buckets
+    docs = sorted({r["doc_id"] for r in rows})[:6]
+    ev = [
+        dict(seq=i, part=0, op="update", doc_id=docs[i % len(docs)], tokens=None,
+             transform="append_eos", source=None, extra=None)
+        for i in range(30)
+    ]
+    rep = ChangeStreamReplayer(spark, warehouse, "seq", "prune", evolve_schema=False)
+    ms = rep.apply_changes(spark.createDataFrame(ev, CHANGES_SCHEMA), events_per_batch=10)
+    assert len(ms) == 3  # multi-batch
+
+    cl = Changelog(cat, rep.config.rollback_table_name, t, "prune")
+    touched = cl.touched_buckets()
+    assert 0 < len(touched) < 16  # a strict subset, or the test proves nothing
+    # the manifest union equals the buckets the docs hash into
+    from mongo_bulk_data_migration_spark.sources.laketable import bucket_expr
+    expect = sorted(
+        r["b"] for r in spark.createDataFrame([(d,) for d in docs], "doc_id string")
+        .select(bucket_expr("doc_id", 16).alias("b")).distinct().collect()
+    )
+    assert touched == expect
+
+    # pruned changelog read: exactly the files in touched buckets (vacuous
+    # equality in the per-migration layout, pinned so a layout change that
+    # widens the scan fails loudly)
+    cl_files = cl.table().snapshot().files
+    assert {f["bucket"] for f in cl_files} == set(touched)
+
+    # foreign commit forces the changelog path (not snapshot time travel)
+    t.commit_marker({}, operation="foreign-touch")
+    pre_rollback = {f["path"]: f for f in cat.load_table("seq").snapshot().files}
+    rep.rollback()
+    t2 = cat.load_table("seq")
+    rewritten_buckets = {
+        f["bucket"] for f in t2.snapshot().files if f["path"] not in pre_rollback
+    }
+    assert rewritten_buckets <= set(touched), (rewritten_buckets, touched)
+    assert rows_of(t2.read(spark)) == initial
