@@ -2297,6 +2297,52 @@ def q_cdc_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed sink->source loop (VERDICT r3 #5): the same IVM workload
+    as `cdc_ivm`, but maintained through the persistent
+    MaterializedGroupedView follower with a mid-stream restart — fold part
+    of the backlog, drop the follower, build a FRESH one from the on-disk
+    checkpoint (atomic _CURRENT pointer), and continue.  The restarted
+    view's content must hash-match the same sequential-replay oracle."""
+    _utc(spark)
+    import shutil
+
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.operators.ivm import MaterializedGroupedView
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="mbdm_ivmr_")
+    cat = Catalog(wh)
+    t = cat.create_table(
+        "sequences", SEQUENCES_SCHEMA, num_buckets=16, properties={"merge_mode": "mor"}
+    )
+    t.append(seqs)
+    view_dir = os.path.join(wh, "_views", "by_source")
+    mv = MaterializedGroupedView(spark, t, view_dir, "source", ["n_tok"])
+    mv.initialize()
+    epb = max(n_events // _IVM_BATCHES, 1)
+    rep = ChangeStreamReplayer(spark, wh, "sequences", "ivmr", evolve_schema=False)
+    rep.apply_changes(events, events_per_batch=epb, max_batches=2)
+    mv.refresh()
+    ckpt = mv.folded_version()
+    del mv  # "crash": only the on-disk checkpoint survives
+    rep.apply_changes(events, events_per_batch=epb)  # remaining batches
+    mv2 = MaterializedGroupedView(spark, t, view_dir, "source", ["n_tok"])
+    assert mv2.folded_version() == ckpt  # resumed, not reinitialized
+    final = list(mv2.follow(poll_interval_s=0.01, max_polls=1))[-1]
+    assert final == t.current_version()
+    out = mv2.read().select(
+        "source",
+        F.col("n_rows").alias("n_docs"),
+        F.col("sum_n_tok").alias("sum_tok"),
+    )
+    rows = out.collect()  # materialize before the scratch dirs vanish
+    shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 _IVM_BATCHES = 4
 
 
@@ -2602,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixing": q_source_mixing,
         "decontaminate": q_decontaminate,
         "vocab_topk": q_vocab_topk,
+        "ivm_restart": q_ivm_restart,
         "cdc_ivm": q_cdc_ivm,
         "vocab_remap": q_vocab_remap,
         "fim_split": q_fim_split,
@@ -2673,6 +2720,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixing": _SOURCE_MIXING_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "vocab_topk": _VOCAB_TOPK_ORACLE,
+        "ivm_restart": _cdc_ivm_oracle(),
         "cdc_ivm": _cdc_ivm_oracle(),
         "vocab_remap": _vocab_remap_oracle(),
         "fim_split": _fim_split_oracle(),
