@@ -41,6 +41,24 @@ HEADLINE = [
 ]
 
 
+def _host_probe_io(size_mb: int = 64) -> float:
+    """Scratch-FS write probe (MB/s) — see jobs/scaling_bench.host_probe_io."""
+    import tempfile
+
+    buf = os.urandom(1 << 20)
+    t0 = time.monotonic()
+    fd, path = tempfile.mkstemp(prefix="ioprobe_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(size_mb):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+    finally:
+        os.unlink(path)
+    return round(size_mb / (time.monotonic() - t0), 1)
+
+
 def _host_probe(n_proc: int, work: int = 2_000_000) -> float:
     """Host CPU capacity in M int-ops/s (the sandbox's deliverable CPU swings
     several-fold over minutes; recording it makes a bad window visible)."""
@@ -304,6 +322,9 @@ def main() -> None:
         # host window quality at measurement time (M int-ops/s, 1 vs CPUS
         # processes): identifies degraded-scheduler windows in the record
         "host_mops": {"1p": per_core, f"{CPUS}p": _host_probe(CPUS)},
+        # scratch-FS write throughput at measurement time (MB/s): attributes
+        # I/O-side window degradation the CPU probe cannot see
+        "host_io_mbps": _host_probe_io(),
         # pre-registered window gate: every probe taken before a timed leg
         # (tag, probe, bar, pass/fail) — see GATE_* env knobs
         "window_gate": {

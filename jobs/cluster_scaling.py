@@ -36,6 +36,7 @@ from scaling_bench import (  # noqa: E402
     LegSampler,
     _git_commit,
     host_probe,
+    host_probe_io,
 )
 
 SPARK_SUBMIT = os.path.join(
@@ -175,6 +176,7 @@ def main() -> None:
                     f.write(json.dumps({**r, "n_docs": args.docs,
                                         "n_events": n_events, "commit": commit,
                                         "pair": i, "host_probe_mops": pr,
+                                        "host_io_mbps": host_probe_io(),
                                         "mode": "local-cluster", "pinned": True}) + "\n")
             print(json.dumps(pair), flush=True)
     finally:

@@ -26,7 +26,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "jobs"))
 
-from scaling_bench import _git_commit, host_probe  # noqa: E402
+from scaling_bench import _git_commit, host_probe, host_probe_io  # noqa: E402
 
 WORKER = r"""
 import json, shutil, sys, tempfile, time
@@ -44,13 +44,15 @@ n_events = {n_events}
 batches = {batches}
 strategy = {strategy!r}
 merge_mode = {merge_mode!r}
+auto_compact = {auto_compact}
 spark = get_spark(app_name=f"mode-{{strategy}}-{{merge_mode}}",
                   master=f"local[{{cores}}]", shuffle_partitions=cores)
 wh = tempfile.mkdtemp(prefix="mode_")
 try:
     cat = Catalog(wh)
     t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets={buckets},
-                         properties={{"merge_mode": merge_mode}})
+                         properties={{"merge_mode": merge_mode,
+                                      "auto_compact_layers": auto_compact}})
     t.append(sequences_df(spark, n_docs, parallelism=cores))
     events = changes_df(spark, n_docs, n_events, n_parts=cores, parallelism=cores)
     rep = ChangeStreamReplayer(spark, wh, "sequences", "mode", evolve_schema=False,
@@ -58,8 +60,10 @@ try:
     t0 = time.monotonic()
     ms = rep.apply_changes(events, events_per_batch=max(n_events // batches, 1))
     wall = time.monotonic() - t0
+    t2 = cat.load_table("sequences")
     print("RESULT " + json.dumps({{
         "strategy": strategy, "merge_mode": merge_mode, "cores": cores,
+        "auto_compact": auto_compact, "final_delta_layers": t2.delta_layers(),
         "n_docs": n_docs, "n_events": n_events, "n_batches": len(ms),
         "wall_s": round(wall, 2), "events_per_sec": round(n_events / wall, 1),
         "staged_bytes": max((m.get("staged_bytes") or 0) for m in ms),
@@ -69,18 +73,23 @@ finally:
     spark.stop()
 """
 
+# (name, merge_strategy, merge_mode, auto_compact_layers; 0 disables)
 MODES = [
-    ("cow-broadcast", "broadcast", "cow"),
-    ("cow-shuffle", "shuffle", "cow"),
-    ("mor-broadcast", "broadcast", "mor"),
-    ("mor-shuffle", "shuffle", "mor"),
+    ("cow-broadcast", "broadcast", "cow", 0),
+    ("cow-shuffle", "shuffle", "cow", 0),
+    ("mor-broadcast", "broadcast", "mor", 0),
+    ("mor-shuffle", "shuffle", "mor", 0),
+    # VERDICT r3 #8 cadence row: fold delta layers mid-replay every k=2
+    ("mor-autocompact", "broadcast", "mor", 2),
 ]
 
 
-def run_leg(cores, n_docs, n_events, batches, buckets, strategy, merge_mode) -> dict:
+def run_leg(cores, n_docs, n_events, batches, buckets, strategy, merge_mode,
+            auto_compact=0) -> dict:
     code = WORKER.format(
         repo=REPO, cores=cores, n_docs=n_docs, n_events=n_events,
         batches=batches, buckets=buckets, strategy=strategy, merge_mode=merge_mode,
+        auto_compact=auto_compact,
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
@@ -114,9 +123,9 @@ def main() -> None:
 
     log_path = os.path.join(REPO, "BENCH", "mode_runs.jsonl")
     os.makedirs(os.path.dirname(log_path), exist_ok=True)
-    results: dict[str, list[dict]] = {name: [] for name, _, _ in MODES}
+    results: dict[str, list[dict]] = {name: [] for name, _, _, _ in MODES}
     for rep in range(args.repeats):
-        for name, strategy, merge_mode in MODES:
+        for name, strategy, merge_mode, ac in MODES:
             # pre-registered gate before each timed leg
             gated = False
             for w in range(args.window_max_waits + 1):
@@ -129,8 +138,9 @@ def main() -> None:
                                                   "wait": w}}), flush=True)
                 time.sleep(args.window_wait_s)
             r = run_leg(args.cores, args.docs, n_events, args.batches,
-                        args.buckets, strategy, merge_mode)
-            r.update({"round": rep, "probe_mops": probe, "gate_need": round(need, 1),
+                        args.buckets, strategy, merge_mode, auto_compact=ac)
+            r.update({"round": rep, "probe_mops": probe,
+                      "io_mbps": host_probe_io(), "gate_need": round(need, 1),
                       "gated": gated, "commit": commit, "mode": name})
             results[name].append(r)
             with open(log_path, "a") as f:
@@ -146,18 +156,19 @@ def main() -> None:
         f"rounds, each leg behind a pre-registered host-window gate",
         f"(probe >= {need:.0f} Mops); commit {commit}.  Median of rounds:",
         "",
-        "| mode | median ev/s | runs (ev/s) | min leg probe (Mops) |",
-        "|---|---|---|---|",
+        "| mode | median ev/s | runs (ev/s) | min leg probe (Mops) | final delta layers |",
+        "|---|---|---|---|---|",
     ]
     medians = {}
-    for name, _, _ in MODES:
+    for name, _, _, _ in MODES:
         rs = sorted(r["events_per_sec"] for r in results[name])
         medians[name] = rs[len(rs) // 2]
         probes = [r["probe_mops"] for r in results[name]]
+        layers = sorted({r.get("final_delta_layers", 0) for r in results[name]})
         lines.append(
             f"| {name} | {medians[name]:,.0f} | "
             + ", ".join(f"{v:,.0f}" for v in rs)
-            + f" | {min(probes):.0f} |"
+            + f" | {min(probes):.0f} | {'/'.join(str(x) for x in layers)} |"
         )
     staged = max(r.get("staged_bytes", 0) for rs in results.values() for r in rs)
     lines += [

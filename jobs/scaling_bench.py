@@ -162,6 +162,30 @@ def host_probe(n_proc: int = 32, work: int = 2_000_000) -> float:
     return round(n_proc * work / dt / 1e6, 1)
 
 
+def host_probe_io(size_mb: int = 64) -> float:
+    """Measured scratch-filesystem write throughput (MB/s, write+fsync to the
+    same tempdir the engine stages batches in).  Recorded as a DIAGNOSTIC
+    alongside the CPU probe — 2026-08-19 showed a window where integer Mops
+    held (200+ Mops) while identical replay legs ran 2x slow: the CPU probe
+    alone cannot attribute I/O-side host degradation."""
+    import os
+    import tempfile
+    import time
+
+    buf = os.urandom(1 << 20)
+    t0 = time.monotonic()
+    fd, path = tempfile.mkstemp(prefix="ioprobe_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(size_mb):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+    finally:
+        os.unlink(path)
+    return round(size_mb / (time.monotonic() - t0), 1)
+
+
 # measured host parallel-speedup at 8 procs vs 1 (same curve bench.py uses:
 # {1:1.0, 2:1.92, 4:3.7, 8:5.7, ...} — round-1 probe of this sandbox host)
 EIGHT_PROC_SPEEDUP = 5.7
@@ -338,6 +362,7 @@ def main() -> None:
             for r, pr in ((r_n, [probe0, probe1]), (r_4n, [probe1, probe2])):
                 f.write(json.dumps({**r, "strategy": args.strategy, "commit": commit,
                                     "pair": i, "host_probe_mops": pr,
+                                    "host_io_mbps": host_probe_io(),
                                     "pinned": True}) + "\n")
         print(json.dumps(pairs[-1]), flush=True)
 

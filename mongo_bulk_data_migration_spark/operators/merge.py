@@ -499,13 +499,24 @@ def run_merge(
         return table.commit_marker(applied or {}, operation=operation, properties=properties)
     mode = mode or table.snapshot().properties.get("merge_mode", "cow")
     if mode == "mor":
-        return table.append_deltas(
+        ver = table.append_deltas(
             plan.delta,
             plan.touched,
             operation=operation,
             applied=applied,
             properties=properties,
         )
+        # auto-compaction cadence (VERDICT r3 #8): a long MoR replay grows a
+        # delta layer per batch and read amplification with it; fold the
+        # layers whenever their count exceeds the table's cadence property
+        # (`auto_compact_layers`, default 8; 0 disables).  The compact is its
+        # own commit AFTER the batch's atomic marker commit, so crash
+        # semantics are untouched — a lost compaction is re-triggered by the
+        # next batch, and the changefeed diffs a pure compaction to zero.
+        k = int(table.snapshot().properties.get("auto_compact_layers", 8) or 0)
+        if k and table.delta_layers() > k:
+            table.compact(plan.delta.sparkSession)
+        return ver
     return table.overwrite_buckets(
         plan.result,
         plan.touched,
