@@ -184,6 +184,15 @@ def main() -> None:
         " fold to reads/compaction.  The auto default keeps broadcast below"
         " the threshold and shuffle above it; this table is the evidence.",
         "",
+        "",
+        "`mor-autocompact` (auto_compact_layers=2) pays ~2 mid-replay"
+        " compaction commits per 4-batch window to bound read amplification"
+        " (final delta layers column): the replay-side cost is the fold the"
+        " plain MoR mode defers to reads — choose the cadence by read:write"
+        " ratio.  Equivalence is pinned separately"
+        " (tests/test_replay.py::test_mor_auto_compaction_bounds_layers,"
+        " cdc_merge_compacted driver row).",
+        "",
         f"Raw rows: `BENCH/mode_runs.jsonl` (commit-tagged).",
     ]
     with open(os.path.join(REPO, "BENCH", "MODES.md"), "w") as f:
