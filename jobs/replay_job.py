@@ -64,6 +64,16 @@ def main() -> None:
                 "events": n,
                 "wall_s": round(wall, 2),
                 "events_per_sec": round(n / wall, 1) if wall else None,
+                # per-batch phase breakdown: attributes a non-scaling leg to
+                # plan/changelog/merge instead of leaving it a mystery
+                "batch_phases": [
+                    {
+                        k: m.get(k)
+                        for k in ("batch_id", "wall_s", "lineage_s", "plan_s",
+                                  "changelog_s", "merge_s", "strategy")
+                    }
+                    for m in metrics
+                ],
             }
         )
     )
