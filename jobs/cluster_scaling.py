@@ -2,14 +2,22 @@
 
 Supplements :mod:`jobs.scaling_bench` (the headline pinned ``local[N]``
 pairs): the north rule's deployment shape is ``spark-submit --py-files`` on
-a cluster at two cluster sizes.  ``local-cluster[N,1,mem]`` launches N REAL
-worker JVMs — distinct processes, so package distribution, task
+a cluster at two cluster sizes.  ``local-cluster[N,c,mem]`` launches N REAL
+executor JVMs — distinct processes, so package distribution, task
 serialization, broadcast and shuffle all cross process boundaries — the
-closest sandbox analog to an N-executor cluster.  Protocol matches the
-headline harness: input generated ONCE and copied per leg, legs run
-back-to-back in fresh JVM trees taskset-pinned to exactly their core
-budget, each pair behind the pre-registered host-window gate, median pair
-efficiency reported.
+closest sandbox analog to an N-executor cluster.  Round-4 topology fix: the
+pair scales EXECUTOR COUNT (N vs 4N executors of ``--exec-cores`` each,
+matching the rule's "N and 4N executors"), while the driver tree keeps a
+CONSTANT ``--driver-cores`` allotment in both legs and executor JVMs are
+re-pinned onto the executor core range as they appear — the analog of a
+real cluster's separate driver node.  The pre-round-4 harness pinned
+driver+executors together to ``n_exec`` 1-core budgets, so the driver's
+serial work (Catalyst, codegen, py4j, job dispatch) was squeezed
+asymmetrically — that topology artifact, not the engine's plan, produced
+the 0.3-0.5 efficiencies in the early history rows (n_exec 1 vs 4).
+Protocol otherwise matches the headline harness: input generated ONCE and
+copied per leg, legs run back-to-back in fresh JVM trees, each pair behind
+the pre-registered host-window gate, median pair efficiency reported.
 
 Run:  python jobs/cluster_scaling.py [--docs 100000] [--events-per-doc 8]
 Writes BENCH/CLUSTER.md + appends raw rows to BENCH/cluster_runs.jsonl.
@@ -78,14 +86,72 @@ def prep_input(tmp: str, docs: int, events_per_doc: int) -> tuple[str, str, int]
     return wh, ev_dir, n_events
 
 
+class _ExecutorRepinner:
+    """Pin executor processes to the executor core budget, leaving the
+    driver JVM on its own fixed allotment.
+
+    ``taskset`` on the whole ``spark-submit`` tree (the pre-round-4 harness)
+    made the driver COMPETE with executors for the leg's core budget — with
+    1-core executors the N=1 leg ran driver+executor on a single core.  A
+    real cluster gives the driver its own node, so the honest sandbox analog
+    is: launch the tree pinned to a constant driver-core range (same in BOTH
+    legs of a pair), then move each executor JVM (and any pyspark daemons it
+    forks before re-pin) onto the executor range ``0..E-1`` as it appears.
+    Children forked after re-pin inherit the executor affinity, so Arrow/
+    pandas UDF workers land on executor cores too."""
+
+    def __init__(self, exec_cpus: str):
+        import threading
+
+        self.exec_cpus = exec_cpus
+        self.pinned: list[int] = []
+        self._seen: set[str] = set()
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self) -> None:
+        self._t.start()
+
+    def stop(self) -> list[int]:
+        self._stop.set()
+        self._t.join(timeout=5)
+        return self.pinned
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                for pid in os.listdir("/proc"):
+                    if not pid.isdigit() or pid in self._seen:
+                        continue
+                    try:
+                        with open(f"/proc/{pid}/cmdline", "rb") as f:
+                            cmd = f.read().decode("utf-8", errors="replace")
+                    except OSError:
+                        continue
+                    if ("CoarseGrainedExecutorBackend" in cmd
+                            or "pyspark.daemon" in cmd):
+                        r = subprocess.run(
+                            ["taskset", "-cp", self.exec_cpus, pid],
+                            capture_output=True,
+                        )
+                        self._seen.add(pid)
+                        if r.returncode == 0:
+                            self.pinned.append(int(pid))
+            except Exception:
+                pass
+            self._stop.wait(0.5)
+
+
 def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
-            events_per_batch: int, tag: str, exec_mb: int = 2048) -> dict:
+            events_per_batch: int, tag: str, exec_mb: int = 2048,
+            exec_cores: int = 2, driver_cores: int = 2) -> dict:
     wh = os.path.join(tmp, f"wh_{tag}")
     shutil.copytree(wh0, wh)
+    e_total = n_exec * exec_cores
     cmd = [
-        SPARK_SUBMIT, "--master", f"local-cluster[{n_exec},1,{exec_mb}]",
+        SPARK_SUBMIT, "--master", f"local-cluster[{n_exec},{exec_cores},{exec_mb}]",
         "--driver-memory", "2g",
-        "--conf", f"spark.sql.shuffle.partitions={n_exec}",
+        "--conf", f"spark.sql.shuffle.partitions={e_total}",
         "--conf", "spark.ui.enabled=false",
         f"--conf", f"spark.executor.memory={exec_mb}m",
         "--py-files", zpath,
@@ -94,8 +160,13 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
         "--events", ev_dir, "--events-per-batch", str(events_per_batch),
         "--no-evolve-schema",
     ]
+    repin = None
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{n_exec - 1}"] + cmd
+        # driver tree on its constant allotment; executors re-pinned to 0..E-1
+        drv = f"{e_total}-{e_total + driver_cores - 1}"
+        cmd = ["taskset", "-c", drv] + cmd
+        repin = _ExecutorRepinner(f"0-{e_total - 1}")
+        repin.start()
     t0 = time.monotonic()
     sampler = LegSampler()
     sampler.start()
@@ -103,6 +174,7 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     finally:
         during = sampler.stop()
+        n_repinned = len(repin.stop()) if repin is not None else 0
     submit_wall = time.monotonic() - t0
     shutil.rmtree(wh, ignore_errors=True)
     if r.returncode != 0:
@@ -110,6 +182,9 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
         raise RuntimeError(f"leg {tag} failed")
     out = json.loads(r.stdout.strip().splitlines()[-1])
     out["n_exec"] = n_exec
+    out["exec_cores"] = exec_cores
+    out["driver_cores"] = driver_cores
+    out["n_repinned"] = n_repinned
     out["submit_wall_s"] = round(submit_wall, 2)
     out["during_probe_mops"] = during
     return out
@@ -120,12 +195,21 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=100000)
     ap.add_argument("--events-per-doc", type=int, default=8)
     ap.add_argument("--batches", type=int, default=2)
-    ap.add_argument("--n-exec", type=int, default=1)
+    ap.add_argument("--n-exec", type=int, default=2)
+    ap.add_argument("--exec-cores", type=int, default=2,
+                    help="cores per executor (same in both legs; the pair "
+                         "scales EXECUTOR COUNT N->4N, the real-cluster axis)")
+    ap.add_argument("--driver-cores", type=int, default=2,
+                    help="constant driver-core allotment in BOTH legs "
+                         "(analog of the separate driver node)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--window-gate-frac", type=float, default=0.7)
     ap.add_argument("--exec-mb", type=int, default=4096)
     ap.add_argument("--window-wait-s", type=int, default=60)
     ap.add_argument("--window-max-waits", type=int, default=10)
+    ap.add_argument("--log-path", default=None,
+                    help="override the raw-history jsonl (smoke tests write "
+                         "to a scratch path so BENCH history stays clean)")
     args = ap.parse_args()
     xn = 4 * args.n_exec
     n_events = args.docs * args.events_per_doc
@@ -133,16 +217,18 @@ def main() -> None:
     commit = _git_commit()
 
     tmp = tempfile.mkdtemp(prefix="cluster_scale_")
-    log_path = os.path.join(REPO, "BENCH", "cluster_runs.jsonl")
+    log_path = args.log_path or os.path.join(REPO, "BENCH", "cluster_runs.jsonl")
     pairs = []
     try:
         zpath = zip_pkg(tmp)
         wh0, ev_dir, n_events = prep_input(tmp, args.docs, args.events_per_doc)
         per_core = host_probe(1, 8_000_000)
         for i in range(args.repeats):
-            need = args.window_gate_frac * xn * per_core
+            # gate on the 4N leg's TOTAL footprint: executor cores + driver
+            total_4n = xn * args.exec_cores + args.driver_cores
+            need = args.window_gate_frac * total_4n * per_core
             for w in range(args.window_max_waits + 1):
-                gate = host_probe(xn)
+                gate = host_probe(min(total_4n, 32))
                 if gate >= need:
                     break
                 print(json.dumps({"window_gate": {"pair": i, "probe_mops": gate,
@@ -153,9 +239,11 @@ def main() -> None:
                 print(json.dumps({"window_gate_skip": {"pair": i}}), flush=True)
                 continue
             p0 = host_probe()
-            r_n = run_leg(tmp, zpath, wh0, ev_dir, args.n_exec, epb, f"p{i}n", args.exec_mb)
+            r_n = run_leg(tmp, zpath, wh0, ev_dir, args.n_exec, epb, f"p{i}n",
+                          args.exec_mb, args.exec_cores, args.driver_cores)
             p1 = host_probe()
-            r_4n = run_leg(tmp, zpath, wh0, ev_dir, xn, epb, f"p{i}x", args.exec_mb)
+            r_4n = run_leg(tmp, zpath, wh0, ev_dir, xn, epb, f"p{i}x",
+                           args.exec_mb, args.exec_cores, args.driver_cores)
             p2 = host_probe()
             eff = (r_4n["events_per_sec"] / r_n["events_per_sec"]) / (xn / args.n_exec)
             # pre-registered during-leg hold rule (same as scaling_bench)
@@ -184,7 +272,10 @@ def main() -> None:
 
     if not pairs:
         sys.stderr.write("no pairs ran this session (window gate never passed)\n")
-    write_report(log_path)
+    if args.log_path is None:
+        write_report(log_path)  # standing report only from the standing log
+    else:
+        print(json.dumps({"smoke_log": log_path, "md_written": False}), flush=True)
 
 
 def write_report(log_path: str) -> None:
@@ -244,10 +335,15 @@ def write_report(log_path: str) -> None:
 
 Same replay job as the headline `BENCH/BASELINE.md` pairs, but deployed the
 north rule's way: `spark-submit --py-files mbdm.zip jobs/replay_job.py` on
-`local-cluster[N,1,mem]` vs `local-cluster[4N,1,mem]` — each executor a REAL
-separate worker JVM (package distribution, task serialization, broadcast and
+`local-cluster[N,c,mem]` vs `local-cluster[4N,c,mem]` — each executor a REAL
+separate JVM (package distribution, task serialization, broadcast and
 shuffle all cross process boundaries).  Input generated once and copied per
-leg; legs taskset-pinned to exactly their core budget; pairs window-gated;
+leg.  Pinning (round-4 topology): executor JVMs are re-pinned onto exactly
+the leg's executor-core budget (`N*c` cores) as they register, while the
+driver tree keeps a constant separate allotment in BOTH legs — the analog
+of a real cluster's dedicated driver node.  Pre-round-4 rows (n_exec 1 vs
+4, 1-core executors, driver sharing the executor pin) measured a topology
+artifact; they are retained below for provenance.  Pairs window-gated;
 the during-leg sampler classifies each pair held/SHEARED (pre-sampler rows:
 `no-sampler`, judged by bracket probes only).  This report is rebuilt from
 the FULL `BENCH/cluster_runs.jsonl` history on every run, so an all-sheared

@@ -60,18 +60,30 @@ class HwmStore:
     def filter_events(self, spark: SparkSession, events: DataFrame) -> DataFrame:
         """``where(seq > hwm[part])`` — the R1 range-predicate resume.
 
-        The HWM map is tiny (one row per partition) => broadcast join; at the
-        parquet scan this also enables row-group skipping on ``seq`` min/max.
+        The HWM map is tiny (one row per stream partition), so it compiles
+        into the scan as a LITERAL ``map[part]`` lookup — a pure JVM
+        expression, no join and no local-Python-RDD DataFrame (the previous
+        broadcast-join build shipped a pickled-Python partition through
+        executor Python workers; at cluster scale that is a needless
+        Python round-trip on the window's critical path, and the global
+        ``seq > min(hwm)`` conjunct below IS min/max-pushable to parquet
+        row-group pruning, which the join form never was).
         """
         state = self.load()
         parts = state["parts"]
         if not parts:
             return events
-        hwm_df = spark.createDataFrame(
-            [(int(p), int(s)) for p, s in parts.items()], "part int, __hwm long"
+        m = F.create_map(
+            *[F.lit(x) for p, s in parts.items() for x in (int(p), int(s))]
         )
-        return (
-            events.join(F.broadcast(hwm_df), "part", "left")
-            .where(F.col("seq") > F.coalesce(F.col("__hwm"), F.lit(-1)))
-            .drop("__hwm")
+        # coarse pushable prefilter: no event at or below the SMALLEST
+        # per-part HWM can survive the exact per-part predicate
+        floor_seq = min(int(s) for s in parts.values())
+        return events.where(
+            (F.col("seq") > F.lit(floor_seq))
+            | ~F.col("part").isin(*[int(p) for p in parts])
+        ).where(
+            F.col("seq") > F.coalesce(
+                m[F.col("part")].cast("long"), F.lit(-1).cast("long")
+            )
         )
