@@ -166,7 +166,10 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
     cmd = [
         SPARK_SUBMIT, "--master", f"local-cluster[{n_exec},{exec_cores},{exec_mb}]",
         "--driver-memory", "2g",
-        "--conf", f"spark.sql.shuffle.partitions={e_total}",
+        # more shuffle partitions than cores: AQE coalesces small stages
+        # back down, while multi-million-event batches keep per-task state
+        # bounded instead of building 1-2 GB partitions on the small leg
+        "--conf", f"spark.sql.shuffle.partitions={max(4 * e_total, 16)}",
         "--conf", "spark.ui.enabled=false",
         f"--conf", f"spark.executor.memory={exec_mb}m",
         "--py-files", zpath,
@@ -210,13 +213,20 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=100000)
     ap.add_argument("--events-per-doc", type=int, default=8)
     ap.add_argument("--batches", type=int, default=2)
-    ap.add_argument("--n-exec", type=int, default=2)
+    ap.add_argument("--n-exec", type=int, default=1)
     ap.add_argument("--exec-cores", type=int, default=2,
                     help="cores per executor (same in both legs; the pair "
                          "scales EXECUTOR COUNT N->4N, the real-cluster axis)")
-    ap.add_argument("--driver-cores", type=int, default=2,
+    ap.add_argument("--driver-cores", type=int, default=4,
                     help="constant driver-core allotment in BOTH legs "
-                         "(analog of the separate driver node)")
+                         "(analog of the separate driver node; measured "
+                         "2026-08-19: the driver JVM burns ~68 CPU-s/leg of "
+                         "Catalyst/codegen/RPC — squeezing it to 2 cores "
+                         "made a 16-exec-core leg 3.6x slower, i.e. the old "
+                         "harness measured driver starvation, not executor "
+                         "scaling).  Defaults sized so the 4N leg's total "
+                         "footprint (4*2+4=12) fits the VM's ~18-core "
+                         "deliverable capacity")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--window-gate-frac", type=float, default=0.7)
     ap.add_argument("--exec-mb", type=int, default=4096)
