@@ -210,7 +210,11 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=100000)
+    ap.add_argument("--docs", type=int, default=400000,
+                    help="default sized so n_events=3.2M matches the "
+                         "headline local[N] group that carries the >=0.8 "
+                         "claim, while keeping legs short enough that the "
+                         "during-leg hold rule samples a single host window")
     ap.add_argument("--events-per-doc", type=int, default=8)
     ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--n-exec", type=int, default=1)
@@ -385,6 +389,14 @@ the during-leg sampler classifies each pair held/SHEARED (pre-sampler rows:
 `no-sampler`, judged by bracket probes only).  This report is rebuilt from
 the FULL `BENCH/cluster_runs.jsonl` history on every run, so an all-sheared
 session records its rows without overwriting clean-window evidence.
+
+Metric note (round 4): rows carrying a `prestage_s` key measure the
+END-TO-END `apply_changes` wall — the same definition as the headline
+`BENCH/BASELINE.md` harness.  Earlier rows summed only per-batch walls,
+which EXCLUDED the whole-window prestage (the event scan + last-wins
+collapse — precisely the partition-parallel work that scales with
+executors) and so measured only the fixed-cost tail; their flat/over-unity
+efficiencies are a metric artifact, retained for provenance.
 
 | events | commit | pairs | median eff (rule-passing) |
 |---|---|---|---|

@@ -54,16 +54,29 @@ def main() -> None:
         print(json.dumps({"rollback": res}, default=str))
         return
     events = spark.read.parquet(args.events)
+    import time
+
+    t0 = time.monotonic()
     metrics = rep.apply_changes(events, events_per_batch=args.events_per_batch)
+    wall = time.monotonic() - t0
     n = sum(m["n_events"] for m in metrics)
-    wall = sum(m["wall_s"] for m in metrics)
+    batches_wall = sum(m["wall_s"] for m in metrics)
     print(
         json.dumps(
             {
                 "batches": len(metrics),
                 "events": n,
+                # end-to-end apply_changes wall — the SAME definition the
+                # headline scaling harness (jobs/scaling_bench.py) uses.
+                # Summing only per-batch walls (the pre-round-4 metric)
+                # excluded the whole-window prestage — the event scan +
+                # last-wins collapse that is precisely the partition-parallel
+                # work that scales with executors — so cluster pairs measured
+                # only the fixed-cost tail and read as flat.
                 "wall_s": round(wall, 2),
                 "events_per_sec": round(n / wall, 1) if wall else None,
+                "batches_wall_s": round(batches_wall, 2),
+                "prestage_s": round(wall - batches_wall, 2),
                 # per-batch phase breakdown: attributes a non-scaling leg to
                 # plan/changelog/merge instead of leaving it a mystery
                 "batch_phases": [
