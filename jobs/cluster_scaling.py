@@ -157,9 +157,88 @@ class _ExecutorRepinner:
             self._stop.wait(0.5)
 
 
+class _CpuAttributor:
+    """Attribute leg CPU-seconds to driver JVM / executor JVMs / py workers.
+
+    Flat 1->4-executor throughput can mean three different things — driver
+    saturation, disk saturation, or executors that were never the
+    bottleneck — and the wall clock alone cannot tell them apart.  Sampling
+    /proc/<pid>/stat (utime+stime) for every spark process and classifying
+    by cmdline yields per-role CPU-seconds; `exec_busy_frac` =
+    exec_cpu_s / (wall x executor core budget) then says how busy the
+    executor cores actually were.  A leg with exec_busy_frac ~= 0.25 at 4
+    executors is starved (driver/IO bound); ~1.0 means executor CPU is the
+    constraint and more executors genuinely help."""
+
+    _TICK = os.sysconf("SC_CLK_TCK")
+
+    def __init__(self):
+        import threading
+
+        # pid -> (role, last_ticks); accumulated ticks for exited pids
+        self._live: dict[str, tuple[str, int]] = {}
+        self._done: dict[str, float] = {"driver": 0.0, "exec": 0.0, "py": 0.0}
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self) -> None:
+        self._t.start()
+
+    def stop(self) -> dict[str, float]:
+        self._stop.set()
+        self._t.join(timeout=5)
+        out = dict(self._done)
+        for _pid, (role, ticks) in self._live.items():
+            out[role] += ticks / self._TICK
+        return {k: round(v, 1) for k, v in out.items()}
+
+    @staticmethod
+    def _role(cmd: str) -> str | None:
+        if "CoarseGrainedExecutorBackend" in cmd:
+            return "exec"
+        if "pyspark.daemon" in cmd or "pyspark.worker" in cmd:
+            return "py"
+        if "org.apache.spark.deploy.SparkSubmit" in cmd:
+            return "driver"
+        return None
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                seen: set[str] = set()
+                for pid in os.listdir("/proc"):
+                    if not pid.isdigit():
+                        continue
+                    known = self._live.get(pid)
+                    try:
+                        if known is None:
+                            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                                cmd = f.read().replace(b"\0", b" ").decode(
+                                    "utf-8", errors="replace")
+                            role = self._role(cmd)
+                            if role is None:
+                                continue
+                        else:
+                            role = known[0]
+                        with open(f"/proc/{pid}/stat") as f:
+                            parts = f.read().rsplit(")", 1)[1].split()
+                        ticks = int(parts[11]) + int(parts[12])  # utime+stime
+                    except (OSError, IndexError, ValueError):
+                        continue
+                    self._live[pid] = (role, ticks)
+                    seen.add(pid)
+                for pid in [p for p in self._live if p not in seen]:
+                    role, ticks = self._live.pop(pid)
+                    self._done[role] += ticks / self._TICK
+            except Exception:
+                pass
+            self._stop.wait(0.5)
+
+
 def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
             events_per_batch: int, tag: str, exec_mb: int = 2048,
-            exec_cores: int = 2, driver_cores: int = 2) -> dict:
+            exec_cores: int = 2, driver_cores: int = 2,
+            warmup_events: int = 0) -> dict:
     wh = os.path.join(tmp, f"wh_{tag}")
     shutil.copytree(wh0, wh)
     e_total = n_exec * exec_cores
@@ -177,6 +256,7 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
         "--warehouse", wh, "--table", "sequences", "--migration-id", f"cs-{tag}",
         "--events", ev_dir, "--events-per-batch", str(events_per_batch),
         "--no-evolve-schema",
+        "--warmup-events", str(warmup_events),
     ]
     repin = None
     if shutil.which("taskset"):
@@ -188,10 +268,13 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
     t0 = time.monotonic()
     sampler = LegSampler()
     sampler.start()
+    attrib = _CpuAttributor()
+    attrib.start()
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     finally:
         during = sampler.stop()
+        cpu_s = attrib.stop()
         n_repinned = len(repin.stop()) if repin is not None else 0
     submit_wall = time.monotonic() - t0
     shutil.rmtree(wh, ignore_errors=True)
@@ -205,6 +288,11 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
     out["n_repinned"] = n_repinned
     out["submit_wall_s"] = round(submit_wall, 2)
     out["during_probe_mops"] = during
+    out["cpu_s"] = cpu_s
+    wall = out.get("wall_s") or submit_wall
+    out["exec_busy_frac"] = round(
+        (cpu_s["exec"] + cpu_s["py"]) / (wall * e_total), 3
+    ) if wall else None
     return out
 
 
@@ -236,6 +324,16 @@ def main() -> None:
     ap.add_argument("--exec-mb", type=int, default=4096)
     ap.add_argument("--window-wait-s", type=int, default=60)
     ap.add_argument("--window-max-waits", type=int, default=10)
+    ap.add_argument("--warmup-events", type=int, default=400_000,
+                    help="untimed JIT/codegen warmup replay per leg "
+                         "(replay_job --warmup-events): executors in the "
+                         "deploy shape are long-running, so fresh-JVM legs "
+                         "must not charge per-executor warmup to the "
+                         "measurement (CPU attribution 2026-08-19: 4-exec "
+                         "leg burned ~2x the executor CPU-s of the 1-exec "
+                         "leg on identical input, exec_busy_frac 0.46 vs "
+                         "1.09 — replicated warmup + cold-start, not "
+                         "steady-state work)")
     ap.add_argument("--log-path", default=None,
                     help="override the raw-history jsonl (smoke tests write "
                          "to a scratch path so BENCH history stays clean)")
@@ -276,10 +374,12 @@ def main() -> None:
                 continue
             p0 = host_probe()
             r_n = run_leg(tmp, zpath, wh0, ev_dir, args.n_exec, epb, f"p{i}n",
-                          args.exec_mb, args.exec_cores, args.driver_cores)
+                          args.exec_mb, args.exec_cores, args.driver_cores,
+                          args.warmup_events)
             p1 = host_probe()
             r_4n = run_leg(tmp, zpath, wh0, ev_dir, xn, epb, f"p{i}x",
-                           args.exec_mb, args.exec_cores, args.driver_cores)
+                           args.exec_mb, args.exec_cores, args.driver_cores,
+                           args.warmup_events)
             p2 = host_probe()
             eff = (r_4n["events_per_sec"] / r_n["events_per_sec"]) / (xn / args.n_exec)
             # pre-registered during-leg hold rule, footprint-adjusted per leg

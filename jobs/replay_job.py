@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -31,6 +32,16 @@ def main() -> None:
     ap.add_argument("--dedup-salt", type=int, default=None)
     ap.add_argument("--no-evolve-schema", action="store_true")
     ap.add_argument("--rollback", action="store_true", help="roll the migration back instead")
+    ap.add_argument(
+        "--warmup-events", type=int, default=0,
+        help="before the timed apply, replay this many events into a "
+             "throwaway table clone (untimed).  Executors in the deploy "
+             "shape are long-running services; a fresh-JVM leg otherwise "
+             "charges each executor's one-time JIT/codegen warmup to the "
+             "measurement — measured 2026-08-19: a 4-executor leg burned "
+             "~2x the executor CPU-seconds of a 1-executor leg on the same "
+             "input, the difference being per-JVM warmup replicated 4x",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,6 +66,33 @@ def main() -> None:
         return
     events = spark.read.parquet(args.events)
     import time
+
+    if args.warmup_events > 0:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        wtmp = tempfile.mkdtemp(prefix="replay_warm_")
+        try:
+            # clone the table's CURRENT content into a scratch warehouse and
+            # replay a bounded event slice through the full engine path —
+            # same plans, same codegen shapes, nothing of the timed state
+            src_tbl = os.path.join(args.warehouse, args.table)
+            shutil.copytree(src_tbl, os.path.join(wtmp, args.table))
+            warm = ChangeStreamReplayer(
+                spark, wtmp, args.table, f"{args.migration_id}-warm",
+                options=MigrationOptions(
+                    merge_strategy=args.merge_strategy, dedup_salt=args.dedup_salt
+                ),
+                evolve_schema=not args.no_evolve_schema,
+            )
+            warm.apply_changes(
+                events.where(F.col("seq") < args.warmup_events),
+                events_per_batch=max(args.warmup_events // 2, 1),
+            )
+        finally:
+            shutil.rmtree(wtmp, ignore_errors=True)
 
     t0 = time.monotonic()
     metrics = rep.apply_changes(events, events_per_batch=args.events_per_batch)

@@ -1,0 +1,312 @@
+"""Arrow-native per-bucket change computation for the streaming change feed.
+
+The Structured Streaming source (:mod:`.stream_source`) runs inside Python
+data-source workers, where there is no SparkSession — each input partition
+is one (commit, bucket) work unit that must resolve the bucket's logical
+content and classify row-level changes locally.  This module is the
+vectorized kernel layer for that: pyarrow tables end-to-end, numpy for the
+per-row combinatorics (last-writer selection, key joins, list equality).
+No per-row Python anywhere — token arrays never leave Arrow buffers, key
+joins are hash-based via pandas Index internals, and list<int32> equality
+is a flatten + bincount reduction.
+
+Semantics mirror :mod:`.changefeed` (the batch CDF) exactly; the parity is
+pinned by tests/test_stream_source.py which diffs the streamed rows against
+``table_changes`` over the same commit range.
+
+Cost model per unit (the 100 TB story): one bucket of one commit — delta
+files of the commit + the shadowed v-1 bucket content.  O(bucket), never
+O(table); buckets are the table's hash-partitioning unit, so this matches
+the merge engine's own working-set bound.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# stay consistent with the batch feed / lake table constants without
+# importing spark-typed modules into the data-source worker unnecessarily
+DELETED_COL = "__deleted"
+DSEQ_COL = "__dseq"
+CHANGE_COL = "_change_type"
+VERSION_COL = "_commit_version"
+
+
+# ---------------------------------------------------------------- file IO
+
+
+def read_aligned(
+    root: str,
+    rel_paths: Sequence[str],
+    schema: pa.Schema,
+) -> pa.Table:
+    """Read parquet files and project/cast onto ``schema``.
+
+    Files written before an online schema evolution lack the added columns
+    (read as NULL) and may carry narrower types (upcast) — the Arrow analog
+    of LakeTable.read's explicit-schema scan.  Column pruning: only
+    ``schema``'s columns are requested from the reader.
+    """
+    if not rel_paths:
+        return schema.empty_table()
+    parts = []
+    want = set(schema.names)
+    for rel in rel_paths:
+        f = pq.ParquetFile(os.path.join(root, rel))
+        have = [n for n in f.schema_arrow.names if n in want]
+        parts.append(f.read(columns=have))
+    raw = pa.concat_tables(parts, promote_options="permissive")
+    cols = []
+    for field in schema:
+        if field.name in raw.column_names:
+            c = raw.column(field.name)
+            if c.type != field.type:
+                c = pc.cast(c, field.type)
+        else:
+            c = pa.nulls(raw.num_rows, field.type)
+        cols.append(c)
+    return pa.Table.from_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+        schema=schema,
+    )
+
+
+# ---------------------------------------------------- key-based selection
+
+
+def _keys_np(tbl: pa.Table, key: str) -> np.ndarray:
+    return tbl.column(key).to_numpy(zero_copy_only=False)
+
+
+def last_writer_per_key(delta: pa.Table, key: str, seq_col: str = DSEQ_COL) -> pa.Table:
+    """One row per key: the row with the greatest ``seq_col`` (last delta
+    layer wins — same rule as LakeTable.read's max_by resolution)."""
+    if delta.num_rows == 0:
+        return delta
+    seq = delta.column(seq_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(seq, kind="stable")  # ascending; stable keeps file order
+    keys_sorted = _keys_np(delta, key)[order]
+    # first occurrence in the reversed (descending-seq) view == last writer
+    _, first_rev = np.unique(keys_sorted[::-1], return_index=True)
+    sel = order[::-1][first_rev]
+    return delta.take(pa.array(np.sort(sel)))
+
+
+def _isin_mask(keys: np.ndarray, member_of: np.ndarray) -> np.ndarray:
+    """Hash-based membership (pandas Index) — np.isin on object arrays is
+    O(n log n) sort-based and slower on strings."""
+    import pandas as pd
+
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    return pd.Index(keys).isin(member_of)
+
+
+def resolve_content(
+    root: str,
+    base_files: Sequence[str],
+    delta_files: Sequence[str],
+    schema: pa.Schema,
+    key: str,
+) -> pa.Table:
+    """Logical content of one bucket at a version (merge-on-read resolve):
+    base rows not shadowed by any delta key + last-writer delta rows that
+    are not tombstones."""
+    base = read_aligned(root, base_files, schema)
+    if not delta_files:
+        return base
+    dschema = pa.schema(
+        list(schema)
+        + [pa.field(DELETED_COL, pa.bool_()), pa.field(DSEQ_COL, pa.int64())]
+    )
+    deltas = read_aligned(root, delta_files, dschema)
+    winners = last_writer_per_key(deltas, key)
+    live = winners.filter(
+        pc.invert(pc.fill_null(winners.column(DELETED_COL), False))
+    ).select(schema.names)
+    if base.num_rows:
+        shadow = _isin_mask(_keys_np(base, key), _keys_np(winners, key))
+        base = base.filter(pa.array(~shadow))
+    return pa.concat_tables([base, live])
+
+
+# ------------------------------------------------------- row equality
+
+
+def _null_mask(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return pc.is_null(col).to_numpy(zero_copy_only=False)
+
+
+def _list_values_equal(a: pa.Array, b: pa.Array) -> np.ndarray:
+    """Vectorized element-wise equality for list arrays: rows equal iff
+    lengths match and every flattened element matches.  Zero per-row
+    Python: length compare + one flat compare + bincount reduction."""
+    n = len(a)
+    la = pc.fill_null(pc.list_value_length(a), -1).to_numpy(zero_copy_only=False)
+    lb = pc.fill_null(pc.list_value_length(b), -2).to_numpy(zero_copy_only=False)
+    both_null = _null_mask(a) & _null_mask(b)
+    cand = (la == lb) & ~both_null
+    out = both_null.copy()  # null == null
+    idx = np.nonzero(cand)[0]
+    if len(idx) == 0:
+        return out
+    ai = a.take(pa.array(idx))
+    bi = b.take(pa.array(idx))
+    fa = pc.list_flatten(ai)
+    fb = pc.list_flatten(bi)
+    lens = la[idx]
+    if len(fa) == 0:
+        out[idx] = True  # all-empty candidate rows
+        return out
+    val_eq = values_equal(fa, fb)
+    rowids = np.repeat(np.arange(len(idx)), lens)
+    mismatches = np.bincount(rowids[~val_eq], minlength=len(idx))
+    out[idx] = mismatches == 0
+    return out
+
+
+def values_equal(a: pa.Array | pa.ChunkedArray, b: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Null-safe element-wise equality returning a numpy bool mask.
+
+    Dispatches on type: primitives/strings through pc.equal, lists through
+    the flatten kernel, structs field-wise.  Unknown nested types fall back
+    to to_pylist comparison (documented slow path; not hit by any schema
+    this engine writes)."""
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    t = a.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return _list_values_equal(a, b)
+    if pa.types.is_struct(t):
+        an, bn = _null_mask(a), _null_mask(b)
+        eq = np.ones(len(a), dtype=bool)
+        for f in t:
+            eq &= values_equal(
+                pc.struct_field(a, f.name), pc.struct_field(b, f.name)
+            )
+        return (an & bn) | (~an & ~bn & eq)
+    try:
+        raw = pc.equal(a, b)
+    except pa.lib.ArrowNotImplementedError:  # pragma: no cover - exotic types
+        av, bv = a.to_pylist(), b.to_pylist()
+        return np.array([x == y for x, y in zip(av, bv)], dtype=bool)
+    an, bn = _null_mask(a), _null_mask(b)
+    return (an & bn) | pc.fill_null(raw, False).to_numpy(zero_copy_only=False)
+
+
+def rows_equal(a: pa.Table, b: pa.Table, cols: Sequence[str]) -> np.ndarray:
+    """Row-wise equality of two ALIGNED tables over ``cols``."""
+    eq = np.ones(a.num_rows, dtype=bool)
+    for c in cols:
+        eq &= values_equal(a.column(c), b.column(c))
+    return eq
+
+
+# ------------------------------------------------------- change assembly
+
+
+def _with_change_meta(t: pa.Table, ctype: str, version: int) -> pa.Table:
+    n = t.num_rows
+    return t.append_column(
+        CHANGE_COL, pa.array([ctype] * n, pa.string())
+    ).append_column(VERSION_COL, pa.array(np.full(n, version, dtype=np.int64)))
+
+
+def classify_mor(
+    winners: pa.Table,
+    pre: pa.Table,
+    key: str,
+    schema: pa.Schema,
+    version: int,
+) -> pa.Table:
+    """MoR commit: align last-writer delta rows (post images + tombstone
+    flag) with the bucket's v-1 pre-images, emit typed change rows.  Same
+    classification as changefeed._classify."""
+    import pandas as pd
+
+    cols = schema.names
+    wk = _keys_np(winners, key)
+    pk = _keys_np(pre, key)
+    pre_pos = pd.Series(np.arange(len(pk)), index=pk)
+    match = pre_pos.reindex(wk)  # NaN where the key had no pre-image
+    has_pre = match.notna().to_numpy()
+    deleted = pc.fill_null(winners.column(DELETED_COL), False).to_numpy(
+        zero_copy_only=False
+    )
+    post = winners.select(cols)
+    pieces = []
+    ins = post.filter(pa.array(~has_pre & ~deleted))
+    if ins.num_rows:
+        pieces.append(_with_change_meta(ins, "insert", version))
+    del_idx = match.to_numpy()[has_pre & deleted]
+    if len(del_idx):
+        pieces.append(
+            _with_change_meta(pre.take(pa.array(del_idx.astype(np.int64))), "delete", version)
+        )
+    upd = has_pre & ~deleted
+    upd_pre_idx = match.to_numpy()[upd]
+    if upd.any():
+        pieces.append(
+            _with_change_meta(
+                pre.take(pa.array(upd_pre_idx.astype(np.int64))), "update_pre", version
+            )
+        )
+        pieces.append(
+            _with_change_meta(post.filter(pa.array(upd)), "update_post", version)
+        )
+    return _concat_changes(pieces, schema, version)
+
+
+def diff_content(
+    old: pa.Table,
+    new: pa.Table,
+    key: str,
+    schema: pa.Schema,
+    version: int,
+) -> pa.Table:
+    """Overwrite commit: full-outer key match of old vs new bucket content,
+    value-compare matched rows (changefeed._diff)."""
+    import pandas as pd
+
+    cols = schema.names
+    ok = _keys_np(old, key)
+    nk = _keys_np(new, key)
+    old_pos = pd.Series(np.arange(len(ok)), index=ok)
+    match = old_pos.reindex(nk)
+    matched_new = match.notna().to_numpy()
+    pieces = []
+    ins = new.filter(pa.array(~matched_new))
+    if ins.num_rows:
+        pieces.append(_with_change_meta(ins, "insert", version))
+    gone = ~_isin_mask(ok, nk)
+    if gone.any():
+        pieces.append(_with_change_meta(old.filter(pa.array(gone)), "delete", version))
+    if matched_new.any():
+        new_m = new.filter(pa.array(matched_new))
+        old_m = old.take(pa.array(match.to_numpy()[matched_new].astype(np.int64)))
+        changed = ~rows_equal(old_m, new_m, [c for c in cols if c != key])
+        if changed.any():
+            m = pa.array(changed)
+            pieces.append(_with_change_meta(old_m.filter(m), "update_pre", version))
+            pieces.append(_with_change_meta(new_m.filter(m), "update_post", version))
+    return _concat_changes(pieces, schema, version)
+
+
+def _concat_changes(pieces: list[pa.Table], schema: pa.Schema, version: int) -> pa.Table:
+    out_schema = pa.schema(
+        list(schema)
+        + [pa.field(CHANGE_COL, pa.string()), pa.field(VERSION_COL, pa.int64())]
+    )
+    if not pieces:
+        return out_schema.empty_table()
+    return pa.concat_tables(
+        [p.cast(out_schema) for p in pieces]
+    )

@@ -1,0 +1,221 @@
+"""Parity tests: the Structured Streaming change-feed source vs the batch
+CDF (`table_changes`) over identical commit sequences.
+
+The batch CDF is itself oracle-verified (driver queries `cdc_ivm`,
+`ivm_restart`), so streaming-vs-batch row parity transitively pins the
+stream to the DuckDB oracle.  Each scenario drives REAL engine commits
+(append / MoR merge / COW merge / compaction / schema evolution) and
+compares the full streamed row set — values included — against the batch
+feed for the same version range.
+"""
+
+from __future__ import annotations
+
+import os
+
+from mongo_bulk_data_migration_spark import Catalog
+from mongo_bulk_data_migration_spark.sources.changefeed import table_changes
+from mongo_bulk_data_migration_spark.sources.stream_source import (
+    ChangeFeedDataSource,
+)
+
+
+SCHEMA_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _mk_table(spark, tmp_path, name="seqs", rows=None, merge_mode=None):
+    cat = Catalog(str(tmp_path))
+    props = {"merge_mode": merge_mode} if merge_mode else None
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(SCHEMA_DDL)
+    t = cat.create_table(name, schema, num_buckets=4, properties=props or {})
+    if rows:
+        t.append(spark.createDataFrame(rows, schema=SCHEMA_DDL))
+    return cat, t
+
+
+def _rows(spark, n, src="base", tok0=0, prefix="d"):
+    return [
+        (f"{prefix}{i:04d}", [tok0 + i, tok0 + i + 1], 2, src) for i in range(n)
+    ]
+
+
+def _stream_rows(spark, wh, table, from_version):
+    spark.dataSource.register(ChangeFeedDataSource)
+    name = f"feed_{os.path.basename(str(wh))}_{from_version}".replace("-", "_")
+    q = (
+        spark.readStream.format("mbdm_changefeed")
+        .option("warehouse", str(wh))
+        .option("table", table)
+        .option("fromVersion", from_version)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).collect()
+    q.stop()
+    return out
+
+
+def _canon(rows):
+    return sorted(
+        (
+            r["doc_id"],
+            tuple(r["tokens"]) if r["tokens"] is not None else None,
+            r["n_tok"],
+            r["source"],
+            r["_change_type"],
+            r["_commit_version"],
+        )
+        for r in rows
+    )
+
+
+def _assert_parity(spark, cat, t, wh, from_version):
+    batch = table_changes(t, spark, from_version).collect()
+    streamed = _stream_rows(spark, wh, "seqs", from_version)
+    assert _canon(streamed) == _canon(batch)
+    return streamed
+
+
+def test_stream_matches_batch_feed_append_and_cow(spark, tmp_path):
+    cat, t = _mk_table(spark, tmp_path, rows=_rows(spark, 40))
+    v0 = t.current_version()
+    # append commit
+    t.append(spark.createDataFrame(
+        _rows(spark, 10, src="extra", tok0=500, prefix="e"), schema=SCHEMA_DDL))
+    # COW merge: update some, delete some, insert some
+    from mongo_bulk_data_migration_spark.operators.merge import (
+        build_merge_plan, run_merge)
+
+    src = spark.createDataFrame(
+        [("d0001", [9, 9], 2, "upd", "update"),
+         ("d0002", None, None, None, "delete"),
+         ("dnew1", [7], 1, "new", "insert")],
+        schema=SCHEMA_DDL + ", __op string",
+    )
+    plan = build_merge_plan(t, spark, src.withColumnRenamed("__op", "__op"))
+    run_merge(t, plan, operation="merge")
+    plan.release()
+    streamed = _assert_parity(spark, cat, t, tmp_path, v0)
+    kinds = {r["_change_type"] for r in streamed}
+    assert {"insert", "update_pre", "update_post", "delete"} <= kinds
+
+
+def test_stream_matches_batch_feed_mor_and_compaction(spark, tmp_path):
+    cat, t = _mk_table(spark, tmp_path, rows=_rows(spark, 40),
+                       merge_mode="mor")
+    v0 = t.current_version()
+    from mongo_bulk_data_migration_spark.operators.merge import (
+        build_merge_plan, run_merge)
+
+    # two MoR merge commits (delta layers stack), then a compaction
+    for gen in (1, 2):
+        src = spark.createDataFrame(
+            [("d0003", [gen], 1, "upd", "update"),
+             (f"dm{gen}", [gen, gen], 2, "new", "insert"),
+             ("d0005", None, None, None, "delete")],
+            schema=SCHEMA_DDL + ", __op string",
+        )
+        plan = build_merge_plan(t, spark, src)
+        run_merge(t, plan, operation="merge")
+        plan.release()
+    t.compact(spark)
+    streamed = _assert_parity(spark, cat, t, tmp_path, v0)
+    # a pure compaction rewrites files without logical changes: no rows at
+    # the compaction commit's version
+    vmax = t.current_version()
+    assert not [r for r in streamed if r["_commit_version"] == vmax]
+
+
+def test_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Offsets live in the Spark checkpoint: a restarted query must pick up
+    exactly the commits that landed while it was down — no repeats, no
+    gaps (exactly-once over the feed)."""
+    cat, t = _mk_table(spark, tmp_path / "wh", rows=_rows(spark, 20))
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    spark.dataSource.register(ChangeFeedDataSource)
+
+    def run_once():
+        q = (
+            spark.readStream.format("mbdm_changefeed")
+            .option("warehouse", str(tmp_path / "wh"))
+            .option("table", "seqs")
+            .option("fromVersion", 0)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out_dir).collect()
+    assert {r["_change_type"] for r in first} == {"insert"}
+    n_first = len(first)
+    # new commit while the stream is down
+    t.append(spark.createDataFrame(
+        _rows(spark, 5, src="late", tok0=900, prefix="l"), schema=SCHEMA_DDL))
+    run_once()
+    second = spark.read.parquet(out_dir).collect()
+    late = [r for r in second if r["source"] == "late"]
+    assert len(late) == 5
+    # the file sink's exactly-once ledger: restart appended ONLY the new
+    # commit's rows — no repeats of the first batch, no gaps
+    assert len(second) == n_first + 5
+
+
+def test_stream_projects_columns(spark, tmp_path):
+    """`columns` pushes parquet pruning into the workers: token arrays are
+    never read, and change detection is scoped to the projected columns."""
+    cat, t = _mk_table(spark, tmp_path, rows=_rows(spark, 10))
+    v0 = t.current_version()
+    t.append(spark.createDataFrame(
+        _rows(spark, 3, src="p2", tok0=100, prefix="p"), schema=SCHEMA_DDL))
+    spark.dataSource.register(ChangeFeedDataSource)
+    q = (
+        spark.readStream.format("mbdm_changefeed")
+        .option("warehouse", str(tmp_path))
+        .option("table", "seqs")
+        .option("fromVersion", v0)
+        .option("columns", "source")
+        .load()
+        .writeStream.format("memory")
+        .queryName("feed_proj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("feed_proj").collect()
+    q.stop()
+    assert set(spark.table("feed_proj").columns) == {
+        "doc_id", "source", "_change_type", "_commit_version"}
+    assert len(rows) == 3 and all(r["source"] == "p2" for r in rows)
+
+
+def test_stream_sees_schema_evolution_nulls(spark, tmp_path):
+    """Rows from commits written before an ADD COLUMN surface the added
+    column as NULL under the stream's (wider) schema."""
+    cat, t = _mk_table(spark, tmp_path, rows=_rows(spark, 6))
+    v0 = t.current_version()
+    t.append(spark.createDataFrame(
+        _rows(spark, 2, src="old", tok0=50, prefix="o"), schema=SCHEMA_DDL))
+    from pyspark.sql import types as T
+
+    t.add_columns([T.StructField("lang", T.StringType(), True)])
+    t.append(spark.createDataFrame(
+        [("dx1", [1], 1, "new", "en")],
+        schema=SCHEMA_DDL + ", lang string"))
+    streamed = _stream_rows(spark, tmp_path, "seqs", v0)
+    old = [r for r in streamed if r["source"] == "old"]
+    new = [r for r in streamed if r["source"] == "new"]
+    assert len(old) == 2 and all(r["lang"] is None for r in old)
+    assert len(new) == 1 and new[0]["lang"] == "en"
