@@ -2346,6 +2346,111 @@ def q_ivm_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVM_BATCHES = 4
 
 
+def q_stream_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit log consumed as a REAL Structured Streaming source
+    (sources/stream_source.py, Spark 4 Python Data Source API): replay the
+    derived events in _IVM_BATCHES MoR batches, then run
+    ``spark.readStream.format("mbdm_changefeed")`` from the pre-replay
+    version and fold the streamed change rows with the IVM signed-delta
+    rule (+row for insert/update_post, -row for delete/update_pre).  The
+    fold telescopes to final-state minus initial-state per source — which
+    the oracle computes from the same sequential-merge layers — so one
+    wrong value, change_type, version or dropped/duplicated row anywhere
+    in the stream breaks the hash."""
+    _utc(spark)
+    import shutil
+    import uuid
+
+    from mongo_bulk_data_migration_spark import Catalog
+    from mongo_bulk_data_migration_spark.sources.fixtures import SEQUENCES_SCHEMA
+    from mongo_bulk_data_migration_spark.sources.stream_source import (
+        ChangeFeedDataSource,
+    )
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+
+    seqs, events, n_events = _cdc_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="mbdm_feedstream_")
+    cat = Catalog(wh)
+    t = cat.create_table(
+        "sequences", SEQUENCES_SCHEMA, num_buckets=16, properties={"merge_mode": "mor"}
+    )
+    t.append(seqs)
+    v0 = t.current_version()
+    rep = ChangeStreamReplayer(spark, wh, "sequences", "feedstream", evolve_schema=False)
+    rep.apply_changes(events, events_per_batch=max(n_events // _IVM_BATCHES, 1))
+
+    spark.dataSource.register(ChangeFeedDataSource)
+    sink = f"feedstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("mbdm_changefeed")
+        .option("warehouse", wh)
+        .option("table", "sequences")
+        .option("fromVersion", v0)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    tok_sum = F.coalesce(
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")),
+        F.lit(0).cast("long"),
+    )
+    out = (
+        spark.table(sink)
+        .groupBy("source")
+        .agg(
+            F.sum(sign).cast("long").alias("n_delta"),
+            F.sum(sign * F.coalesce(F.col("n_tok"), F.lit(0))).cast("long").alias("tok_delta"),
+            F.sum(sign * tok_sum).cast("long").alias("cksum_delta"),
+        )
+        # symmetric with the oracle: a source whose streamed deltas cancel
+        # exactly carries no information either way
+        .where(
+            (F.col("n_delta") != 0)
+            | (F.col("tok_delta") != 0)
+            | (F.col("cksum_delta") != 0)
+        )
+    )
+    rows = out.collect()  # materialize before the scratch warehouse vanishes
+    shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _stream_changefeed_oracle() -> str:
+    """Signed-delta telescope: the streamed fold equals per-source
+    (final-state aggregate) minus (initial-state aggregate).  Reuses the
+    sequential-merge layers of ``_cdc_ivm_oracle`` and diffs state0 vs
+    state{N}; n_tok in the engine's rows is len(tokens) by construction."""
+    base = _cdc_ivm_oracle()
+    head = base[: base.rindex("\nSELECT source,")]
+    return head + f"""
+, agg0 AS (
+  SELECT source, count(*)::BIGINT AS n, sum(len(tokens))::BIGINT AS tok,
+         sum(coalesce(list_aggregate(tokens, 'sum'), 0))::BIGINT AS cksum
+  FROM state0 GROUP BY source
+), aggN AS (
+  SELECT source, count(*)::BIGINT AS n, sum(len(tokens))::BIGINT AS tok,
+         sum(coalesce(list_aggregate(tokens, 'sum'), 0))::BIGINT AS cksum
+  FROM state{_IVM_BATCHES} GROUP BY source
+)
+SELECT coalesce(a.source, b.source) AS source,
+       (coalesce(b.n, 0) - coalesce(a.n, 0))::BIGINT AS n_delta,
+       (coalesce(b.tok, 0) - coalesce(a.tok, 0))::BIGINT AS tok_delta,
+       (coalesce(b.cksum, 0) - coalesce(a.cksum, 0))::BIGINT AS cksum_delta
+FROM agg0 a FULL OUTER JOIN aggN b
+  ON a.source IS NOT DISTINCT FROM b.source
+WHERE coalesce(b.n, 0) - coalesce(a.n, 0) != 0
+   OR coalesce(b.tok, 0) - coalesce(a.tok, 0) != 0
+   OR coalesce(b.cksum, 0) - coalesce(a.cksum, 0) != 0
+"""
+
+
 def _cdc_ivm_oracle() -> str:
     """Sequential multi-batch oracle: unlike ``_CDC_ORACLE`` (one global
     last-wins collapse == single-batch replay), the IVM query replays in
@@ -2599,6 +2704,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_changefeed": q_stream_changefeed,
         "no_update_skip": q_no_update_skip,
         "cdc_merge_compacted": q_cdc_merge_compacted,
         "lookup_pipeline": q_lookup_pipeline,
@@ -2671,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_changefeed": _stream_changefeed_oracle(),
         "no_update_skip": _NO_UPDATE_SKIP_ORACLE,
         "cdc_merge_compacted": _CDC_ORACLE,
         "lookup_pipeline": _LOOKUP_PIPELINE_ORACLE,
