@@ -172,24 +172,35 @@ class _CpuAttributor:
 
     _TICK = os.sysconf("SC_CLK_TCK")
 
-    def __init__(self):
+    def __init__(self, t0_marker: str | None = None):
         import threading
 
         # pid -> (role, last_ticks); accumulated ticks for exited pids
         self._live: dict[str, tuple[str, int]] = {}
         self._done: dict[str, float] = {"driver": 0.0, "exec": 0.0, "py": 0.0}
+        # scope to the timed window: when the job touches t0_marker (after
+        # its warmup), snapshot the running totals as a baseline — stop()
+        # then reports only timed-window CPU (warmup/startup excluded)
+        self._t0_marker = t0_marker
+        self._baseline: dict[str, float] | None = None
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._loop, daemon=True)
 
     def start(self) -> None:
         self._t.start()
 
-    def stop(self) -> dict[str, float]:
-        self._stop.set()
-        self._t.join(timeout=5)
+    def _totals(self) -> dict[str, float]:
         out = dict(self._done)
         for _pid, (role, ticks) in self._live.items():
             out[role] += ticks / self._TICK
+        return out
+
+    def stop(self) -> dict[str, float]:
+        self._stop.set()
+        self._t.join(timeout=5)
+        out = self._totals()
+        if self._baseline:
+            out = {k: out[k] - self._baseline.get(k, 0.0) for k in out}
         return {k: round(v, 1) for k, v in out.items()}
 
     @staticmethod
@@ -230,6 +241,9 @@ class _CpuAttributor:
                 for pid in [p for p in self._live if p not in seen]:
                     role, ticks = self._live.pop(pid)
                     self._done[role] += ticks / self._TICK
+                if (self._baseline is None and self._t0_marker
+                        and os.path.exists(self._t0_marker)):
+                    self._baseline = self._totals()
             except Exception:
                 pass
             self._stop.wait(0.5)
@@ -257,6 +271,7 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
         "--events", ev_dir, "--events-per-batch", str(events_per_batch),
         "--no-evolve-schema",
         "--warmup-events", str(warmup_events),
+        "--t0-marker", os.path.join(tmp, f"t0_{tag}"),
     ]
     repin = None
     if shutil.which("taskset"):
@@ -268,7 +283,7 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
     t0 = time.monotonic()
     sampler = LegSampler()
     sampler.start()
-    attrib = _CpuAttributor()
+    attrib = _CpuAttributor(t0_marker=os.path.join(tmp, f"t0_{tag}"))
     attrib.start()
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)

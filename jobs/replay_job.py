@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--no-evolve-schema", action="store_true")
     ap.add_argument("--rollback", action="store_true", help="roll the migration back instead")
     ap.add_argument(
+        "--t0-marker", default=None,
+        help="touch this file when the TIMED apply starts (after any "
+             "warmup) — lets an external CPU-attribution sampler scope "
+             "per-role CPU-seconds to the measured window only",
+    )
+    ap.add_argument(
         "--warmup-events", type=int, default=0,
         help="before the timed apply, replay this many events into a "
              "throwaway table clone (untimed).  Executors in the deploy "
@@ -94,6 +100,9 @@ def main() -> None:
         finally:
             shutil.rmtree(wtmp, ignore_errors=True)
 
+    if args.t0_marker:
+        with open(args.t0_marker, "w") as f:
+            f.write(str(time.time()))
     t0 = time.monotonic()
     metrics = rep.apply_changes(events, events_per_batch=args.events_per_batch)
     wall = time.monotonic() - t0

@@ -332,6 +332,13 @@ def main() -> None:
                 skipped_windows += 1
                 print(json.dumps({"window_gate_skip": {"pair": i}}), flush=True)
                 continue
+        # the VM's own parallel efficiency at 4N procs IN THIS WINDOW: the
+        # ceiling any 4N-wide job can measure here.  job_eff >= host_eff
+        # means the job scales as well as the hardware under it delivers;
+        # recorded per pair so the report can state eff/ceiling explicitly.
+        base1 = host_probe(1, 8_000_000)
+        cap4n = host_probe(args.xn_cores, max(8_000_000 // args.n_cores, 1_000_000))
+        host_par_eff = round(cap4n / base1 / args.xn_cores, 3) if base1 else None
         probe0 = host_probe()
         r_n = run(args.n_cores, args.docs, n_events, args.batches, args.buckets, args.strategy)
         probe1 = host_probe()
@@ -357,12 +364,14 @@ def main() -> None:
             leg["held"] = held
             leg["held_bar_mops"] = bar8
         pairs.append({"n": r_n, "4n": r_4n, "eff": round(eff, 3),
-                      "probes": [probe0, probe1, probe2], "held": held})
+                      "probes": [probe0, probe1, probe2], "held": held,
+                      "host_par_eff": host_par_eff})
         with open(log_path, "a") as f:
             for r, pr in ((r_n, [probe0, probe1]), (r_4n, [probe1, probe2])):
                 f.write(json.dumps({**r, "strategy": args.strategy, "commit": commit,
                                     "pair": i, "host_probe_mops": pr,
                                     "host_io_mbps": host_probe_io(),
+                                    "host_par_eff": host_par_eff,
                                     "pinned": True}) + "\n")
         print(json.dumps(pairs[-1]), flush=True)
 
@@ -440,10 +449,14 @@ def main() -> None:
     r_n, r_4n, eff = med["n"], med["4n"], med["eff"]
 
     all_pairs = "; ".join(
-        "pair{}: N={:,.0f} 4N={:,.0f} eff={}{} host~{}Mops".format(
+        "pair{}: N={:,.0f} 4N={:,.0f} eff={}{} host~{}Mops{}".format(
             i, p["n"]["events_per_sec"], p["4n"]["events_per_sec"], p["eff"],
             "" if p.get("held", True) else " [SHEARED]",
             min(p.get("probes") or [0]),
+            (" host-par-eff@{}p={} job/host={}".format(
+                args.xn_cores, p["host_par_eff"],
+                round(p["eff"] / p["host_par_eff"], 2))
+             if p.get("host_par_eff") else ""),
         )
         for i, p in enumerate(pairs)
     )
