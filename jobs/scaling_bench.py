@@ -46,6 +46,27 @@ try:
     from mongo_bulk_data_migration_spark.plans.migration import MigrationOptions
     rep = ChangeStreamReplayer(spark, wh, "sequences", "scale", evolve_schema=False,
                                options=MigrationOptions(merge_strategy=strategy))
+    if {warm_docs}:
+        # untimed engine warmup on a small clone (same protocol as
+        # replay_job --warmup-events): deploy-shape executors are
+        # long-running services, so a fresh-JVM leg must not charge one-time
+        # JIT/codegen of the merge/changelog path to the measurement.
+        # Identical in BOTH legs of a pair; rows carry warmed=true.
+        wwh = tempfile.mkdtemp(prefix=f"scalewarm{{cores}}_")
+        try:
+            wcat = Catalog(wwh)
+            wt = wcat.create_table("sequences", SEQUENCES_SCHEMA,
+                                   num_buckets={buckets})
+            wt.append(sequences_df(spark, {warm_docs}, parallelism=cores))
+            wev = changes_df(spark, {warm_docs}, {warm_docs} * 2,
+                             n_parts=cores, parallelism=cores)
+            wrep = ChangeStreamReplayer(spark, wwh, "sequences", "warm",
+                                        evolve_schema=False,
+                                        options=MigrationOptions(
+                                            merge_strategy=strategy))
+            wrep.apply_changes(wev, events_per_batch={warm_docs})
+        finally:
+            shutil.rmtree(wwh, ignore_errors=True)
     t0 = time.monotonic()
     ms = rep.apply_changes(events, events_per_batch=max(n_events // batches, 1))
     wall = time.monotonic() - t0
@@ -53,6 +74,7 @@ try:
         "cores": cores, "n_docs": n_docs, "n_events": n_events,
         "n_batches": len(ms), "wall_s": round(wall, 2),
         "events_per_sec": round(n_events / wall, 1),
+        "warmed": bool({warm_docs}),
     }}))
 finally:
     shutil.rmtree(wh, ignore_errors=True)
@@ -60,10 +82,10 @@ finally:
 """
 
 
-def run(cores: int, n_docs: int, n_events: int, batches: int, buckets: int, strategy: str = "broadcast") -> dict:
+def run(cores: int, n_docs: int, n_events: int, batches: int, buckets: int, strategy: str = "broadcast", warm_docs: int = 0) -> dict:
     code = WORKER.format(
         repo=REPO, cores=cores, n_docs=n_docs, n_events=n_events, batches=batches,
-        buckets=buckets, strategy=strategy,
+        buckets=buckets, strategy=strategy, warm_docs=warm_docs,
     )
     # Pin the whole worker process tree (JVM task threads AND its GC/IO/
     # python-worker helpers) to exactly `cores` CPUs: local[N] alone only
@@ -231,6 +253,10 @@ def main() -> None:
                          "capacity from the session's 1-proc probe) in BOTH "
                          "legs, else the pair is logged but excluded from "
                          "the claimed median (mid-leg scheduler collapse)")
+    ap.add_argument("--warmup-docs", type=int, default=0,
+                    help="untimed engine warmup on a clone of this many docs "
+                         "(2 events/doc) before each timed leg; identical in "
+                         "both legs, rows carry warmed=true")
     ap.add_argument("--tag-commit", default=None,
                     help="log pairs under this commit id instead of HEAD — "
                          "ONLY for top-up pairs when the engine code is "
@@ -340,9 +366,11 @@ def main() -> None:
         cap4n = host_probe(args.xn_cores, max(8_000_000 // args.n_cores, 1_000_000))
         host_par_eff = round(cap4n / base1 / args.xn_cores, 3) if base1 else None
         probe0 = host_probe()
-        r_n = run(args.n_cores, args.docs, n_events, args.batches, args.buckets, args.strategy)
+        r_n = run(args.n_cores, args.docs, n_events, args.batches, args.buckets,
+                  args.strategy, args.warmup_docs)
         probe1 = host_probe()
-        r_4n = run(args.xn_cores, args.docs, n_events, args.batches, args.buckets, args.strategy)
+        r_4n = run(args.xn_cores, args.docs, n_events, args.batches, args.buckets,
+                   args.strategy, args.warmup_docs)
         probe2 = host_probe()
         eff = (r_4n["events_per_sec"] / r_n["events_per_sec"]) / factor
         # Pre-registered MID-LEG validity rule (stated in LegSampler and
