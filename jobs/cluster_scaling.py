@@ -178,11 +178,16 @@ class _CpuAttributor:
         # pid -> (role, last_ticks); accumulated ticks for exited pids
         self._live: dict[str, tuple[str, int]] = {}
         self._done: dict[str, float] = {"driver": 0.0, "exec": 0.0, "py": 0.0}
+        # storage-IO bytes per role: wchar/rchar = logical, write/read_bytes
+        # = block-device (tmpfs workdirs show ~0 there — that IS the point)
+        self._io_live: dict[str, tuple[str, tuple[int, int, int, int]]] = {}
+        self._io_done: dict[str, list[int]] = {}
         # scope to the timed window: when the job touches t0_marker (after
         # its warmup), snapshot the running totals as a baseline — stop()
         # then reports only timed-window CPU (warmup/startup excluded)
         self._t0_marker = t0_marker
         self._baseline: dict[str, float] | None = None
+        self._io_baseline: dict[str, list[int]] | None = None
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._loop, daemon=True)
 
@@ -195,6 +200,14 @@ class _CpuAttributor:
             out[role] += ticks / self._TICK
         return out
 
+    def _io_totals(self) -> dict[str, list[int]]:
+        out = {k: list(v) for k, v in self._io_done.items()}
+        for _pid, (role, vals) in self._io_live.items():
+            acc = out.setdefault(role, [0, 0, 0, 0])
+            for i, v in enumerate(vals):
+                acc[i] += v
+        return out
+
     def stop(self) -> dict[str, float]:
         self._stop.set()
         self._t.join(timeout=5)
@@ -202,6 +215,21 @@ class _CpuAttributor:
         if self._baseline:
             out = {k: out[k] - self._baseline.get(k, 0.0) for k in out}
         return {k: round(v, 1) for k, v in out.items()}
+
+    def io_mb(self) -> dict[str, dict[str, float]]:
+        """Per-role IO in MB: logical (wchar/rchar) + block-device
+        (write_bytes/read_bytes), timed-window-scoped like stop()."""
+        out = self._io_totals()
+        if self._io_baseline:
+            for role, base in self._io_baseline.items():
+                if role in out:
+                    out[role] = [max(a - b, 0) for a, b in zip(out[role], base)]
+        mb = 1024 * 1024
+        return {
+            role: {"w_mb": round(v[0] / mb, 1), "r_mb": round(v[1] / mb, 1),
+                   "disk_w_mb": round(v[2] / mb, 1), "disk_r_mb": round(v[3] / mb, 1)}
+            for role, v in out.items()
+        }
 
     @staticmethod
     def _role(cmd: str) -> str | None:
@@ -237,13 +265,30 @@ class _CpuAttributor:
                     except (OSError, IndexError, ValueError):
                         continue
                     self._live[pid] = (role, ticks)
+                    try:
+                        with open(f"/proc/{pid}/io") as f:
+                            io = {}
+                            for ln in f:
+                                k, _, v = ln.partition(":")
+                                io[k] = int(v)
+                        self._io_live[pid] = (role, (
+                            io.get("wchar", 0), io.get("rchar", 0),
+                            io.get("write_bytes", 0), io.get("read_bytes", 0)))
+                    except (OSError, ValueError):
+                        pass
                     seen.add(pid)
                 for pid in [p for p in self._live if p not in seen]:
                     role, ticks = self._live.pop(pid)
                     self._done[role] += ticks / self._TICK
+                    iov = self._io_live.pop(pid, None)
+                    if iov is not None:
+                        acc = self._io_done.setdefault(role, [0, 0, 0, 0])
+                        for i, v in enumerate(iov[1]):
+                            acc[i] += v
                 if (self._baseline is None and self._t0_marker
                         and os.path.exists(self._t0_marker)):
                     self._baseline = self._totals()
+                    self._io_baseline = self._io_totals()
             except Exception:
                 pass
             self._stop.wait(0.5)
@@ -263,6 +308,9 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
         # back down, while multi-million-event batches keep per-task state
         # bounded instead of building 1-2 GB partitions on the small leg
         "--conf", f"spark.sql.shuffle.partitions={max(4 * e_total, 16)}",
+        # shuffle/spill files follow the workdir: a tmpfs workdir must take
+        # the shared disk out of the SHUFFLE path too, not just the tables
+        "--conf", f"spark.local.dir={os.path.join(tmp, 'sparklocal_' + tag)}",
         "--conf", "spark.ui.enabled=false",
         f"--conf", f"spark.executor.memory={exec_mb}m",
         "--py-files", zpath,
@@ -304,6 +352,7 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
     out["submit_wall_s"] = round(submit_wall, 2)
     out["during_probe_mops"] = during
     out["cpu_s"] = cpu_s
+    out["io_mb"] = attrib.io_mb()
     wall = out.get("wall_s") or submit_wall
     out["exec_busy_frac"] = round(
         (cpu_s["exec"] + cpu_s["py"]) / (wall * e_total), 3
@@ -349,6 +398,16 @@ def main() -> None:
                          "leg on identical input, exec_busy_frac 0.46 vs "
                          "1.09 — replicated warmup + cold-start, not "
                          "steady-state work)")
+    ap.add_argument("--workdir", default=None,
+                    help="root for input/warehouse/scratch dirs (default: a "
+                         "system tempdir on the VM's single disk).  Pass a "
+                         "tmpfs path (e.g. /dev/shm/cs) to take the shared "
+                         "disk OUT of the pair: the 2026-08-19 IO/CPU "
+                         "attribution showed the 4N leg's executors idle "
+                         "~55% against a saturated single disk (a sandbox "
+                         "artifact — real clusters scale disks with nodes); "
+                         "the tmpfs variant isolates compute+shuffle "
+                         "scaling, rows carry workdir_fs=tmpfs")
     ap.add_argument("--log-path", default=None,
                     help="override the raw-history jsonl (smoke tests write "
                          "to a scratch path so BENCH history stays clean)")
@@ -358,7 +417,14 @@ def main() -> None:
     epb = max(n_events // args.batches, 1)
     commit = _git_commit()
 
-    tmp = tempfile.mkdtemp(prefix="cluster_scale_")
+    if args.workdir:
+        os.makedirs(args.workdir, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="cluster_scale_", dir=args.workdir)
+    else:
+        tmp = tempfile.mkdtemp(prefix="cluster_scale_")
+    import subprocess as _sp
+    fs_type = _sp.run(["stat", "-f", "-c", "%T", tmp],
+                      capture_output=True, text=True).stdout.strip() or "?"
     log_path = args.log_path or os.path.join(REPO, "BENCH", "cluster_runs.jsonl")
     pairs = []
     try:
@@ -421,6 +487,7 @@ def main() -> None:
                                         "n_events": n_events, "commit": commit,
                                         "pair": i, "host_probe_mops": pr,
                                         "host_io_mbps": host_probe_io(),
+                                        "workdir_fs": fs_type,
                                         "mode": "local-cluster", "pinned": True}) + "\n")
             print(json.dumps(pair), flush=True)
     finally:
