@@ -2705,6 +2705,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_changefeed": q_stream_changefeed,
+        "ivm_restart": q_ivm_restart,
         "no_update_skip": q_no_update_skip,
         "cdc_merge_compacted": q_cdc_merge_compacted,
         "lookup_pipeline": q_lookup_pipeline,
@@ -2754,7 +2755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixing": q_source_mixing,
         "decontaminate": q_decontaminate,
         "vocab_topk": q_vocab_topk,
-        "ivm_restart": q_ivm_restart,
         "cdc_ivm": q_cdc_ivm,
         "vocab_remap": q_vocab_remap,
         "fim_split": q_fim_split,
