@@ -172,6 +172,25 @@ class _LegSampler:
         self._t.join(timeout=30)
 
 
+def _spark_cpu_attributor():
+    """Window-scoped spark-process CPU sampler (shared with the cluster
+    harness).  In this in-process local[N] bench the SparkSubmit JVM is both
+    driver and executor; python workers are its pyspark.daemon children.
+    Tree-scoped to THIS process so concurrent spark work cannot leak in."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs"))
+    from cluster_scaling import _CpuAttributor
+
+    # t0_marker=/dev/null (always exists) => baseline lands on the FIRST
+    # scan, i.e. CPU is measured from attributor start, not JVM birth
+    a = _CpuAttributor(t0_marker=os.devnull, root_pid=os.getpid())
+    a.start()
+    for _ in range(40):  # wait for the baseline scan (<=2 s)
+        if a._baseline is not None:
+            break
+        time.sleep(0.05)
+    return a
+
+
 def _cdc_once(spark, n_docs: int, n_events: int, run_id: str) -> dict:
     from mongo_bulk_data_migration_spark import Catalog
     from mongo_bulk_data_migration_spark.sources.fixtures import (
@@ -191,12 +210,22 @@ def _cdc_once(spark, n_docs: int, n_events: int, run_id: str) -> dict:
 
         events = changes_df(spark, n_docs, n_events, n_parts=CPUS, parallelism=CPUS)
         rep = ChangeStreamReplayer(spark, wh, "sequences", run_id, evolve_schema=False)
+        attrib = _spark_cpu_attributor()
         t1 = time.monotonic()
         with _LegSampler() as sampler:
             metrics = rep.apply_changes(events, events_per_batch=max(n_events // N_BATCHES, 1))
         replay_s = time.monotonic() - t1
+        cpu_s = attrib.stop()
+        spark_cpu = round(sum(cpu_s.values()), 1)
         during = [round(s, 1) for s in sampler.samples]
         return {
+            # pre-registered round-5 fallback headline (BENCH/BASELINE.md):
+            # events per spark-CPU-second over the replay window — a starved
+            # host stretches wall, not the work's CPU-seconds, so this is
+            # the host-window-invariant throughput figure
+            "spark_cpu_s": spark_cpu,
+            "cpu_s_roles": cpu_s,
+            "events_per_cpu_sec": round(n_events / spark_cpu, 1) if spark_cpu else None,
             "during_probe_mops": during,
             "n_docs": n_docs,
             "n_events": n_events,
@@ -273,6 +302,7 @@ def bench_cdc(spark, per_core_mops: float, gates: list[dict]) -> dict:
     held = [a for a in attempts if a.get("held")]
     best = max(held or attempts, key=lambda a: a["events_per_sec"])
     best["attempts_events_per_sec"] = [a["events_per_sec"] for a in attempts]
+    best["attempts_events_per_cpu_sec"] = [a.get("events_per_cpu_sec") for a in attempts]
     best["attempts_held"] = [bool(a.get("held")) for a in attempts]
     # explicit rule-status flag for the artifact: True when NO attempt held
     # (the headline is then a sheared-window lower bound, not a held number)
@@ -307,6 +337,24 @@ def main() -> None:
     timings["cdc_replay"] = cdc["replay_sec"]
 
     total = round(sum(timings.values()), 3)
+    # Full diagnostics go on a PRECEDING line: the round driver captures
+    # only a bounded tail, and BENCH_r04's headline line grew past it
+    # ("parsed": null).  The LAST stdout line is the compact machine-read
+    # headline and must stay short.
+    detail = {
+        "bench_detail": {
+            "cdc": cdc,
+            "host_mops": {"1p": per_core, f"{CPUS}p": _host_probe(CPUS)},
+            "host_io_mbps": _host_probe_io(),
+            "window_gate": {
+                "per_core_mops": per_core,
+                "frac": GATE_FRAC,
+                "expect_speedup": round(_expect_speedup(CPUS), 2),
+                "probes": gates,
+            },
+        }
+    }
+    print(json.dumps(detail))
     out = {
         "metric": "headline_suite_total",
         "value": total,
@@ -314,26 +362,16 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR,
         "cpus": CPUS,
-        "cdc": cdc,
+        # official headline: best HELD attempt's wall ev/s; when no window
+        # held (cdc_held false), the pre-registered fallback headline is
+        # cdc_events_per_cpu_sec — events per spark-CPU-second, which the
+        # host window divides out of (protocol in BENCH/BASELINE.md)
         "cdc_events_per_sec": cdc["events_per_sec"],
-        # headline hold status: was the winning attempt's window held per
-        # the during-leg sampler?  False => lower bound, see cdc.no_held_window
+        "cdc_events_per_cpu_sec": cdc.get("events_per_cpu_sec"),
+        "cdc_spark_cpu_s": cdc.get("spark_cpu_s"),
         "cdc_held": bool(cdc.get("held")),
-        # host window quality at measurement time (M int-ops/s, 1 vs CPUS
-        # processes): identifies degraded-scheduler windows in the record
-        "host_mops": {"1p": per_core, f"{CPUS}p": _host_probe(CPUS)},
-        # scratch-FS write throughput at measurement time (MB/s): attributes
-        # I/O-side window degradation the CPU probe cannot see
-        "host_io_mbps": _host_probe_io(),
-        # pre-registered window gate: every probe taken before a timed leg
-        # (tag, probe, bar, pass/fail) — see GATE_* env knobs
-        "window_gate": {
-            "per_core_mops": per_core,
-            "frac": GATE_FRAC,
-            "expect_speedup": round(_expect_speedup(CPUS), 2),
-            "probes": gates,
-            "all_passed": all(g.get("passed") for g in gates) if gates else False,
-        },
+        "window_gate_all_passed": (
+            all(g.get("passed") for g in gates) if gates else False),
     }
     print(json.dumps(out))
 
