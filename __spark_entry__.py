@@ -293,7 +293,9 @@ def q_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=os.path.join(wh, "_ckpt"), evolve_schema=False,
         )
         q = ing.start(stream)
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc_stream ingest did not finish in 600s")
 
     _tail()
     v1 = cat.load_table("sequences").current_version()
@@ -2216,7 +2218,9 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(wh, "ckpt"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_windowed query did not finish in 600s")
     out = spark.table(name).where(F.col("w.start") < F.lit(sentinel_ts))
     return out.select(
         F.unix_millis(F.col("w.start")).alias("bucket_ms"), "n_events"
@@ -2392,7 +2396,12 @@ def q_stream_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # a timeout must fail LOUDLY: aggregating a partial memory-sink table
+    # would surface as an oracle hash mismatch, indistinguishable from a
+    # real engine bug
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_changefeed query did not finish in 300s")
     q.stop()
     sign = F.when(
         F.col("_change_type").isin("insert", "update_post"), F.lit(1)
@@ -2703,7 +2712,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the round driver records official CORRECTNESS rows
+    # for the FIRST 50 entries only.  Round-5 rotation: the 18 queries whose
+    # official rows date to r03 (rotated out in r4) come first — notably
+    # vocab_remap, whose implementation was rewritten in r4 AFTER its only
+    # official row — followed by every CDC/engine query whose code round 5
+    # touches (ivm, stream source, merge modes).  The 18 rotated out to
+    # positions 51-68 are stable analytics operators holding green r4 rows
+    # over code unchanged since.
     return {
+        "vocab_topk": q_vocab_topk,
+        "cdc_ivm": q_cdc_ivm,
+        "vocab_remap": q_vocab_remap,
+        "fim_split": q_fim_split,
+        "unigram_entropy": q_unigram_entropy,
+        "ngram_repeats": q_ngram_repeats,
+        "curriculum_buckets": q_curriculum_buckets,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "token_count_bpe": q_token_count_bpe,
+        "embedding_stats": q_embedding_stats,
+        "simhash": q_simhash,
+        "multimodal_features": q_multimodal_features,
+        "delete_collection": q_delete_collection,
+        "unset_rollback": q_unset_rollback,
+        "pipeline_update": q_pipeline_update,
         "stream_changefeed": q_stream_changefeed,
         "ivm_restart": q_ivm_restart,
         "no_update_skip": q_no_update_skip,
@@ -2754,24 +2789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_split": q_holdout_split,
         "source_mixing": q_source_mixing,
         "decontaminate": q_decontaminate,
-        "vocab_topk": q_vocab_topk,
-        "cdc_ivm": q_cdc_ivm,
-        "vocab_remap": q_vocab_remap,
-        "fim_split": q_fim_split,
-        "unigram_entropy": q_unigram_entropy,
-        "ngram_repeats": q_ngram_repeats,
-        "curriculum_buckets": q_curriculum_buckets,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "token_count_bpe": q_token_count_bpe,
-        "embedding_stats": q_embedding_stats,
-        "simhash": q_simhash,
-        "multimodal_features": q_multimodal_features,
-        "delete_collection": q_delete_collection,
-        "unset_rollback": q_unset_rollback,
-        "pipeline_update": q_pipeline_update,
     }
 
 

@@ -38,13 +38,20 @@ _TICK = os.sysconf("SC_CLK_TCK")
 class ThreadSampler(threading.Thread):
     """Accumulate per-thread-group CPU ticks for one process tree role."""
 
-    def __init__(self, match_cmd: str):
+    def __init__(self, match_cmd: str, t0_marker: str | None = None):
         super().__init__(daemon=True)
         self.match_cmd = match_cmd
         self.groups: dict[str, float] = {}
         self._last: dict[tuple[str, str], tuple[str, int]] = {}
         self._stopev = threading.Event()
         self._pids: set[str] = set()
+        # timed-window scoping (matches _CpuAttributor): until the job
+        # touches t0_marker (post-warmup), ticks only update _last; the
+        # accumulated groups are reset at the marker so JIT/codegen warmup
+        # CPU is excluded — keeping these rows comparable to the cluster
+        # harness's scoped cpu_s they are meant to explain
+        self._t0_marker = t0_marker
+        self._armed = t0_marker is None
 
     def _find_pids(self) -> None:
         for pid in os.listdir("/proc"):
@@ -60,6 +67,10 @@ class ThreadSampler(threading.Thread):
 
     def run(self) -> None:
         while not self._stopev.is_set():
+            if (not self._armed and self._t0_marker
+                    and os.path.exists(self._t0_marker)):
+                self.groups = {}
+                self._armed = True
             self._find_pids()
             for pid in list(self._pids):
                 tdir = f"/proc/{pid}/task"
@@ -106,6 +117,10 @@ def main() -> None:
     ap.add_argument("--n-exec", type=int, default=1)
     ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--exec-mb", type=int, default=4096)
+    ap.add_argument("--warmup-events", type=int, default=400_000,
+                    help="untimed warmup replay (replay_job --warmup-events);"
+                         " samplers baseline at the t0 marker, matching the"
+                         " cluster harness's scoped cpu_s")
     args = ap.parse_args()
     n_events = args.docs * args.events_per_doc
     tmp = tempfile.mkdtemp(prefix="drv_threads_")
@@ -129,9 +144,12 @@ def main() -> None:
             "--warehouse", wh, "--table", "sequences", "--migration-id", "drvprof",
             "--events", ev_dir, "--events-per-batch",
             str(max(n_events // args.batches, 1)), "--no-evolve-schema",
+            "--warmup-events", str(args.warmup_events),
+            "--t0-marker", os.path.join(tmp, "t0"),
         ]
-        drv = ThreadSampler("org.apache.spark.deploy.SparkSubmit")
-        exe = ThreadSampler("CoarseGrainedExecutorBackend")
+        marker = os.path.join(tmp, "t0")
+        drv = ThreadSampler("org.apache.spark.deploy.SparkSubmit", marker)
+        exe = ThreadSampler("CoarseGrainedExecutorBackend", marker)
         t0 = time.monotonic()
         drv.start(); exe.start()
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)

@@ -199,7 +199,15 @@ def values_equal(a: pa.Array | pa.ChunkedArray, b: pa.Array | pa.ChunkedArray) -
         av, bv = a.to_pylist(), b.to_pylist()
         return np.array([x == y for x, y in zip(av, bv)], dtype=bool)
     an, bn = _null_mask(a), _null_mask(b)
-    return (an & bn) | pc.fill_null(raw, False).to_numpy(zero_copy_only=False)
+    eq = pc.fill_null(raw, False).to_numpy(zero_copy_only=False)
+    if pa.types.is_floating(t):
+        # mirror Spark's <=> (eqNullSafe) semantics the batch CDF diff uses:
+        # NaN equals NaN there, while pc.equal says NaN != NaN — without
+        # this an unchanged NaN would stream spurious update rows
+        nan = (pc.fill_null(pc.is_nan(a), False).to_numpy(zero_copy_only=False)
+               & pc.fill_null(pc.is_nan(b), False).to_numpy(zero_copy_only=False))
+        eq = eq | nan
+    return (an & bn) | eq
 
 
 def rows_equal(a: pa.Table, b: pa.Table, cols: Sequence[str]) -> np.ndarray:

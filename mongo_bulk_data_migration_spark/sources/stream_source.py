@@ -181,13 +181,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             parts.append(ChangeFeedPartition(
                 root=tbl.root, version=v, kind="overwrite", key=key,
                 files=cur_b, prev_base=pb,
-                prev_delta=pd_, schema_json=schema_json,
+                prev_delta=pd_, cur_delta=cur_d, schema_json=schema_json,
                 columns=self.columns,
             ))
-            # current delta files ride in `columns`-independent extra slot:
-            # reuse prev_delta layout by appending to files is wrong for
-            # resolve; store via attribute
-            parts[-1].cur_delta = cur_d  # type: ignore[attr-defined]
         return parts
 
     # --------------------------------------------------------------- read
@@ -232,7 +228,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             )
             new = af.resolve_content(
                 partition.root, partition.files,
-                getattr(partition, "cur_delta", []), pa_schema, key,
+                partition.cur_delta, pa_schema, key,
             )
             out = af.diff_content(old, new, key, pa_schema, v)
         yield from out.to_batches()
