@@ -338,17 +338,22 @@ class _CpuAttributor:
 def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
             events_per_batch: int, tag: str, exec_mb: int = 2048,
             exec_cores: int = 2, driver_cores: int = 2,
-            warmup_events: int = 0) -> dict:
+            warmup_events: int = 0, shuffle_partitions: int | None = None) -> dict:
     wh = os.path.join(tmp, f"wh_{tag}")
     shutil.copytree(wh0, wh)
     e_total = n_exec * exec_cores
+    # default: scale partitions with the leg's cores.  Passing an explicit
+    # count keeps the JOB identical across both legs of a pair (the
+    # standard scaling-experiment design: constant work, scaled resources —
+    # AQE still coalesces where the small leg would over-partition)
+    parts = shuffle_partitions or max(4 * e_total, 16)
     cmd = [
         SPARK_SUBMIT, "--master", f"local-cluster[{n_exec},{exec_cores},{exec_mb}]",
         "--driver-memory", "2g",
         # more shuffle partitions than cores: AQE coalesces small stages
         # back down, while multi-million-event batches keep per-task state
         # bounded instead of building 1-2 GB partitions on the small leg
-        "--conf", f"spark.sql.shuffle.partitions={max(4 * e_total, 16)}",
+        "--conf", f"spark.sql.shuffle.partitions={parts}",
         # shuffle/spill files follow the workdir: a tmpfs workdir must take
         # the shared disk out of the SHUFFLE path too, not just the tables
         "--conf", f"spark.local.dir={os.path.join(tmp, 'sparklocal_' + tag)}",
@@ -454,6 +459,10 @@ def main() -> None:
                          "footprint (4*2+4=12) fits the VM's ~18-core "
                          "deliverable capacity")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="fix spark.sql.shuffle.partitions to the SAME "
+                         "value in both legs (constant job, scaled "
+                         "resources); default scales with the leg's cores")
     ap.add_argument("--window-gate-frac", type=float, default=0.7)
     ap.add_argument("--exec-mb", type=int, default=4096)
     ap.add_argument("--window-wait-s", type=int, default=60)
@@ -531,11 +540,11 @@ def main() -> None:
             p0 = host_probe()
             r_n = run_leg(tmp, zpath, wh0, ev_dir, args.n_exec, epb, f"p{i}n",
                           args.exec_mb, args.exec_cores, args.driver_cores,
-                          args.warmup_events)
+                          args.warmup_events, args.shuffle_partitions)
             p1 = host_probe()
             r_4n = run_leg(tmp, zpath, wh0, ev_dir, xn, epb, f"p{i}x",
                            args.exec_mb, args.exec_cores, args.driver_cores,
-                           args.warmup_events)
+                           args.warmup_events, args.shuffle_partitions)
             p2 = host_probe()
             eff = (r_4n["events_per_sec"] / r_n["events_per_sec"]) / (xn / args.n_exec)
             # pre-registered during-leg hold rule, footprint-adjusted per leg

@@ -195,15 +195,15 @@ def test_materialized_view_checkpointed_restart(spark, warehouse, tmp_path):
     import mongo_bulk_data_migration_spark.operators.ivm as ivm_mod
 
     calls = {"n": 0}
-    real_maintain = ivm_mod.maintain
+    real_fold = ivm_mod.fold_grouped_delta
 
-    def exploding_maintain(*a, **k):
+    def exploding_fold(*a, **k):
         calls["n"] += 1
         if calls["n"] >= 2:
             raise RuntimeError("simulated crash mid-backlog")
-        return real_maintain(*a, **k)
+        return real_fold(*a, **k)
 
-    ivm_mod.maintain = exploding_maintain
+    ivm_mod.fold_grouped_delta = exploding_fold
     try:
         try:
             mv.refresh()
@@ -211,14 +211,31 @@ def test_materialized_view_checkpointed_restart(spark, warehouse, tmp_path):
         except RuntimeError:
             pass
     finally:
-        ivm_mod.maintain = real_maintain
+        ivm_mod.fold_grouped_delta = real_fold
 
     # exactly one chunk folded and checkpointed before the crash
     assert mv.folded_version() == v_init + 1
 
-    # torn-refresh artifact: a state dir whose pointer flip never happened —
-    # the restarted follower must overwrite it, never trust it
-    os.makedirs(os.path.join(view_dir, f"state-v{v_init + 2}"), exist_ok=True)
+    # torn refresh: the second chunk's MERGE commits (applied marker lands
+    # in the state table) but the pointer flip is lost — the restarted
+    # follower must detect the marker and flip WITHOUT refolding the chunk
+    real_flip = MaterializedGroupedView._flip
+    try:
+        MaterializedGroupedView._flip = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated crash before flip")
+        )
+        try:
+            mv.refresh()
+            raise AssertionError("expected simulated crash before flip")
+        except RuntimeError:
+            pass
+    finally:
+        MaterializedGroupedView._flip = real_flip
+    st = mv._state()
+    sv_after_torn = st.current_version()
+    # pointer untouched; the fold IS committed (marker present)
+    assert mv.folded_version() == v_init + 1
+    assert mv._find_fold_marker(st, lo=v_init + 1) is not None
 
     # more commits land while the follower is down
     rep.apply_changes(events, events_per_batch=200)  # remaining 2 commits
@@ -230,9 +247,61 @@ def test_materialized_view_checkpointed_restart(spark, warehouse, tmp_path):
     assert mv2.folded_version() == v_init + 1
     final = list(mv2.follow(poll_interval_s=0.01, max_polls=1))[-1]
     assert final == t.current_version()
+    # the torn chunk was absorbed by marker detection: the catch-up wrote
+    # exactly one state commit per LIVE-folded table commit and NONE for
+    # the torn chunk (its commit predates sv_after_torn)
+    assert st.current_version() - sv_after_torn == final - (v_init + 2)
 
     expected = init_grouped_agg(t.read(spark), "source", ["n_tok"])
     assert _agg_rows(mv2.read()) == _agg_rows(expected)
-    # old state dirs were garbage-collected; only the current one remains
-    states = [d for d in os.listdir(view_dir) if d.startswith("state-v")]
-    assert states == [f"state-v{final}"]
+    assert sv_after_torn >= 1  # the torn fold really did commit
+
+
+def test_ivm_keyed_fold_writes_o_changed_groups(spark, warehouse, tmp_path):
+    """VERDICT r4 #3: a refresh must WRITE O(changed groups), not O(groups).
+    Group by doc_id (200 groups), replay one batch touching a handful of
+    docs, and assert the fold commit's new files hold only the changed
+    groups' rows (puts + tombstones), far below the group count."""
+    import os
+
+    from mongo_bulk_data_migration_spark.operators.ivm import MaterializedGroupedView
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=4)
+    t.append(sequences_df(spark, 200, parallelism=2))
+
+    view_dir = str(tmp_path / "mv_docs")
+    mv = MaterializedGroupedView(spark, t, view_dir, "doc_id", ["n_tok"])
+    mv.initialize()
+
+    # a small batch: 40 events over 200 docs touches <= 40 distinct docs
+    events = changes_df(spark, 200, 40, n_parts=2, parallelism=2)
+    n_changed = events.select("doc_id").distinct().count()
+    rep = ChangeStreamReplayer(
+        spark, warehouse, "sequences", "mv-ogroups", evolve_schema=False,
+    )
+    rep.apply_changes(events, events_per_batch=40)
+
+    st = mv._state()
+    files_before = {f["path"] for f in st.snapshot().files}
+    mv.refresh()
+    added = [
+        f for f in st.snapshot().files if f["path"] not in files_before
+    ]
+    assert added, "fold committed no files"
+    rows_written = (
+        spark.read.parquet(*[os.path.join(st.root, f["path"]) for f in added])
+        .count()
+    )
+    # puts + delete tombstones for changed groups only — never the full dim
+    assert rows_written <= n_changed
+    assert rows_written < 200
+
+    expected = t.read(spark).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("n_tok").alias("sum_n_tok")
+    )
+    got = sorted((r["doc_id"], r["n_rows"], r["sum_n_tok"])
+                 for r in mv.read().collect())
+    want = sorted((r["doc_id"], r["n_rows"], r["sum_n_tok"])
+                  for r in expected.collect())
+    assert got == want
