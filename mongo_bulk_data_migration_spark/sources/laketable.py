@@ -223,11 +223,45 @@ class LakeTable:
             int(n[5:-5]) for n in os.listdir(meta) if n.startswith("snap-") and n.endswith(".json")
         )
 
+    def _delta_path(self, version: int) -> str:
+        return os.path.join(self.root, META_DIR, f"delta-{version:012d}.json")
+
+    def delta_record(self, version: int) -> dict[str, Any] | None:
+        """The commit's manifest delta: {"added": [entries], "removed":
+        [entries]} — O(changed files), written alongside the snapshot so a
+        streaming consumer's driver never has to load and set-diff two full
+        file lists per trigger.  None for pre-delta-record commits (the
+        reader falls back to the full diff)."""
+        p = self._delta_path(version)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def _write_snapshot(self, snap: Snapshot) -> None:
         # create-if-absent: losing a version race raises CommitConflictError
         # BEFORE the CURRENT pointer moves — the loser's data files are
         # unreferenced orphans (GC'd), never a clobbered snapshot
         _atomic_create(self._snap_path(snap.version), snap.to_json())
+        # per-commit manifest delta (round 5): O(delta) record of the files
+        # this commit added/removed vs its parent, written AFTER the version
+        # race is decided (only the winner reaches here) and BEFORE the
+        # CURRENT flip.  A crash in between leaves a committed snapshot with
+        # no delta record — readers fall back to the full two-snapshot diff.
+        # The diff costs O(files) once at WRITE time (the snapshot JSON is
+        # already O(files)); the win is every streaming trigger thereafter.
+        if snap.parent is not None:
+            try:
+                parent_files = self.snapshot(snap.parent).files
+                parent_paths = {f["path"] for f in parent_files}
+                snap_paths = {f["path"] for f in snap.files}
+                _atomic_write(self._delta_path(snap.version), json.dumps({
+                    "added": [f for f in snap.files if f["path"] not in parent_paths],
+                    "removed": [f for f in parent_files
+                                if f["path"] not in snap_paths],
+                }))
+            except OSError:
+                pass  # best-effort: readers fall back to the full diff
         cur_path = os.path.join(self.root, META_DIR, "CURRENT")
         # CURRENT is monotonic (rollback rolls FORWARD to a new version):
         # never let a slower committer regress the pointer past a version
@@ -629,4 +663,8 @@ class LakeTable:
         for v in self.history():
             if v not in keep_versions:
                 os.remove(self._snap_path(v))
+                try:
+                    os.remove(self._delta_path(v))
+                except OSError:
+                    pass
         return removed

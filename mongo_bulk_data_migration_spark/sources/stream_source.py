@@ -84,7 +84,7 @@ def _spark_schema_to_arrow(schema: T.StructType):
 
 class ChangeFeedStreamReader(DataSourceStreamReader):
     def __init__(self, table_root: str, schema: T.StructType, from_version: int | None,
-                 columns: list[str] | None):
+                 columns: list[str] | None, max_commits_per_trigger: int | None = None):
         self.table_root = table_root
         self.columns = columns
         self.spark_schema = schema
@@ -92,6 +92,19 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self.from_version = (
             self._tbl.current_version() if from_version is None else int(from_version)
         )
+        self.max_commits = max_commits_per_trigger
+        # last offset handed to Spark (rate-limit anchor).  None until the
+        # first latestOffset (fresh query -> floor is from_version) or the
+        # restart-replay partitions() call (-> floor is the checkpointed
+        # position); see latestOffset for the traced call-order contract.
+        self._pos: int | None = None
+        # incremental manifest state: the table's files as of _state_v,
+        # indexed by bucket.  Initialized from ONE full snapshot read, then
+        # advanced per commit by its O(delta) manifest delta record — the
+        # driver never set-diffs two full file lists per trigger.
+        self._state_v: int | None = None
+        self._by_bucket: dict[int, dict[str, dict]] = {}
+        self._key: str | None = None
 
     def _load_table(self):
         from .laketable import LakeTable
@@ -101,33 +114,103 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
     # ------------------------------------------------------------ offsets
 
     def initialOffset(self) -> dict:
+        self._trace(f"initialOffset pid -> {self.from_version}")
+        self._pos = self.from_version
         return {"version": self.from_version}
 
+    @staticmethod
+    def _trace(msg):
+        import os as _os
+        p = _os.environ.get("MBDM_STREAM_DEBUG")
+        if p:
+            with open(p, "a") as f:
+                f.write(f"{_os.getpid()} {msg}\n")
+
     def latestOffset(self) -> dict:
-        return {"version": self._tbl.current_version()}
+        cur = self._tbl.current_version()
+        self._trace(f"latestOffset pos={self._pos} cur={cur}")
+        if self._pos is None:
+            # observed runner call order (traced on Spark 4.1.2): a FRESH
+            # query asks for availability before initialOffset, so the
+            # pacing floor is from_version; a checkpoint RESTART replays the
+            # restored batch through partitions() first, which sets _pos to
+            # the checkpointed position before this is ever reached.
+            self._pos = self.from_version
+        end = cur if self.max_commits is None else min(
+            cur, self._pos + self.max_commits)
+        self._pos = max(end, self._pos)
+        return {"version": self._pos}
 
     def commit(self, end: dict) -> None:  # nothing to clean up: log is immutable
-        pass
+        self._trace(f"commit {end}")
 
     # --------------------------------------------------------- partitions
 
     def partitions(self, start: dict, end: dict) -> list[ChangeFeedPartition]:
         lo, hi = int(start["version"]), int(end["version"])
+        self._trace(f"partitions {lo}->{hi}")
+        self._pos = max(self._pos or 0, hi)
+        self._ensure_state(lo)
         out: list[ChangeFeedPartition] = []
         for v in range(lo + 1, hi + 1):
             out.extend(self._commit_partitions(v))
         return out
 
+    # ------------------------------------------- incremental manifest state
+
+    def _ensure_state(self, v: int) -> None:
+        """Position the file-state index at version ``v`` — a no-op on the
+        steady path (state advanced commit-by-commit); one full snapshot
+        read on first use or after a seek/restart."""
+        if self._state_v == v:
+            return
+        snap = self._tbl.snapshot(v)
+        self._by_bucket = {}
+        for f in snap.files:
+            self._by_bucket.setdefault(f["bucket"], {})[f["path"]] = f
+        self._key = snap.key_col
+        self._state_v = v
+
+    def _advance_state(self, v: int, added: list[dict], removed: list[dict]) -> None:
+        for f in removed:
+            b = self._by_bucket.get(f["bucket"])
+            if b is not None:
+                b.pop(f["path"], None)
+        for f in added:
+            self._by_bucket.setdefault(f["bucket"], {})[f["path"]] = f
+        self._state_v = v
+
+    def _bucket_files(self, b: int) -> tuple[list[str], list[str]]:
+        entries = self._by_bucket.get(b, {}).values()
+        base = [f["path"] for f in entries if f.get("kind", "base") == "base"]
+        delta = [f["path"] for f in entries if f.get("kind") == "delta"]
+        return base, delta
+
+    def _commit_delta(self, v: int) -> tuple[list[dict], list[dict]]:
+        """(added, removed) file entries of commit ``v`` — from its O(delta)
+        manifest delta record when present, else one snapshot read diffed
+        against the in-memory state (pre-delta-record tables)."""
+        rec = self._tbl.delta_record(v)
+        if rec is not None:
+            return rec["added"], rec["removed"]
+        snap = self._tbl.snapshot(v)
+        state_paths = {p for files in self._by_bucket.values() for p in files}
+        snap_paths = {f["path"] for f in snap.files}
+        added = [f for f in snap.files if f["path"] not in state_paths]
+        removed = [
+            f for files in self._by_bucket.values() for f in files.values()
+            if f["path"] not in snap_paths
+        ]
+        return added, removed
+
     def _commit_partitions(self, v: int) -> list[ChangeFeedPartition]:
         tbl = self._tbl
-        prev = tbl.snapshot(v - 1)
-        snap = tbl.snapshot(v)
-        prev_paths = {f["path"] for f in prev.files}
-        added = [f for f in snap.files if f["path"] not in prev_paths]
-        removed = prev_paths - {f["path"] for f in snap.files}
+        assert self._state_v == v - 1, "state must track the commit walk"
+        added, removed = self._commit_delta(v)
         if not added and not removed:
+            self._state_v = v
             return []  # metadata-only commit
-        key = snap.key_col
+        key = self._key
         # the stream's FIXED schema (set at query start) governs projection;
         # per-commit data columns beyond it simply don't exist yet
         data_schema = T.StructType(
@@ -138,16 +221,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         added_delta = [f for f in added if f.get("kind") == "delta"]
         added_base = [f for f in added if f.get("kind", "base") == "base"]
 
-        def prev_bucket_files(b: int) -> tuple[list[str], list[str]]:
-            pb = [f["path"] for f in prev.files
-                  if f["bucket"] == b and f.get("kind", "base") == "base"]
-            pd_ = [f["path"] for f in prev.files
-                   if f["bucket"] == b and f.get("kind") == "delta"]
-            return pb, pd_
-
         if not removed and not added_delta:
             # pure append: one partition per added file
-            return [
+            parts = [
                 ChangeFeedPartition(
                     root=tbl.root, version=v, kind="append", key=key,
                     files=[f["path"]], schema_json=schema_json,
@@ -155,29 +231,30 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 )
                 for f in added_base
             ]
+            self._advance_state(v, added, removed)
+            return parts
         if added_delta and not removed and not added_base:
             parts = []
             for b in sorted({f["bucket"] for f in added_delta}):
-                pb, pd_ = prev_bucket_files(b)
+                pb, pd_ = self._bucket_files(b)
                 parts.append(ChangeFeedPartition(
                     root=tbl.root, version=v, kind="mor", key=key,
                     files=[f["path"] for f in added_delta if f["bucket"] == b],
                     prev_base=pb, prev_delta=pd_, schema_json=schema_json,
                     columns=self.columns,
                 ))
+            self._advance_state(v, added, removed)
             return parts
         # overwrite (cow merge / compaction): diff touched buckets
         touched = sorted(
-            {f["bucket"] for f in added}
-            | {f["bucket"] for f in prev.files if f["path"] in removed}
+            {f["bucket"] for f in added} | {f["bucket"] for f in removed}
         )
+        prev_by_bucket = {b: self._bucket_files(b) for b in touched}
+        self._advance_state(v, added, removed)
         parts = []
         for b in touched:
-            pb, pd_ = prev_bucket_files(b)
-            cur_b = [f["path"] for f in snap.files
-                     if f["bucket"] == b and f.get("kind", "base") == "base"]
-            cur_d = [f["path"] for f in snap.files
-                     if f["bucket"] == b and f.get("kind") == "delta"]
+            pb, pd_ = prev_by_bucket[b]
+            cur_b, cur_d = self._bucket_files(b)
             parts.append(ChangeFeedPartition(
                 root=tbl.root, version=v, kind="overwrite", key=key,
                 files=cur_b, prev_base=pb,
@@ -244,6 +321,12 @@ class ChangeFeedDataSource(DataSource):
       - ``columns``: comma-separated data-column projection (parquet column
         pruning pushed into every worker read; change detection then means
         "changed as observable in these columns", same as the batch CDF)
+      - ``maxCommitsPerTrigger``: rate-limit a backlog to at most this many
+        commits per micro-batch (default unlimited).  Paces fresh queries
+        from ``fromVersion`` and checkpoint restarts from the restored
+        position.  ``trigger(availableNow=True)`` drains to the captured
+        head in ONE batch (Spark does not consult admission control for
+        Python sources); use a processing-time trigger to observe pacing.
 
     Register once per session::
 
@@ -286,9 +369,11 @@ class ChangeFeedDataSource(DataSource):
         fv = self.options.get("fromversion")
         cols_opt = self.options.get("columns")
         columns = [c.strip() for c in cols_opt.split(",")] if cols_opt else None
+        mcpt = self.options.get("maxcommitspertrigger")
         return ChangeFeedStreamReader(
             self._table_root(),
             schema,
             int(fv) if fv is not None else None,
             columns,
+            max_commits_per_trigger=int(mcpt) if mcpt is not None else None,
         )

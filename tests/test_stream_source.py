@@ -219,3 +219,175 @@ def test_stream_sees_schema_evolution_nulls(spark, tmp_path):
     new = [r for r in streamed if r["source"] == "new"]
     assert len(old) == 2 and all(r["lang"] is None for r in old)
     assert len(new) == 1 and new[0]["lang"] == "en"
+
+
+def test_max_commits_per_trigger_paces_backlog(spark, tmp_path):
+    """VERDICT r4 #9: a follower resuming into a deep backlog must be able
+    to rate-limit — a 6-commit backlog at maxCommitsPerTrigger=2 drains in
+    3 micro-batches, each covering exactly its 2 commits, with the union
+    equal to the unlimited stream."""
+    cat, t = _mk_table(spark, tmp_path / "wh", rows=_rows(spark, 8))
+    for i in range(5):  # 6-commit backlog total (v1..v6)
+        t.append(spark.createDataFrame(
+            _rows(spark, 4, src=f"s{i}", tok0=100 * i, prefix=f"b{i}"),
+            schema=SCHEMA_DDL))
+    assert t.current_version() == 6
+    spark.dataSource.register(ChangeFeedDataSource)
+
+    batches: list[tuple[int, set[int]]] = []
+
+    def sink(df, epoch_id):
+        vs = {r["_commit_version"] for r in df.collect()}
+        if vs:
+            batches.append((epoch_id, vs))
+
+    # NOTE: trigger(availableNow) wraps the source and drains to the
+    # captured head in one batch (admission control is not consulted for
+    # Python sources), so pacing is exercised under the normal
+    # processing-time trigger: each micro-batch's latestOffset advances by
+    # at most maxCommitsPerTrigger.
+    import time
+
+    q = (
+        spark.readStream.format("mbdm_changefeed")
+        .option("warehouse", str(tmp_path / "wh"))
+        .option("table", "seqs")
+        .option("fromVersion", 0)
+        .option("maxCommitsPerTrigger", 2)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            if sum(len(vs) for _eid, vs in batches) >= 6:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert [sorted(vs) for _eid, vs in batches] == [[1, 2], [3, 4], [5, 6]]
+
+
+def test_partitions_reads_only_delta_records(spark, tmp_path):
+    """VERDICT r4 #8: after the reader's one-time state init, planning new
+    commits must touch ONLY each commit's O(delta) manifest record — never
+    load (let alone set-diff) full snapshots on the driver."""
+    cat, t = _mk_table(spark, tmp_path / "wh", rows=_rows(spark, 8),
+                       merge_mode="mor")
+    from mongo_bulk_data_migration_spark.sources.stream_source import (
+        ChangeFeedDataSource,
+        ChangeFeedStreamReader,
+    )
+
+    ds = ChangeFeedDataSource(options={
+        "warehouse": str(tmp_path / "wh"), "table": "seqs", "fromversion": "1",
+    })
+    reader = ds.streamReader(ds.schema())
+    reader.initialOffset()
+    # state init at fromVersion (the one allowed full snapshot read)
+    assert reader.partitions({"version": 1}, {"version": 1}) == []
+
+    calls = {"snapshot": 0, "delta_record": 0}
+    inner = reader._tbl
+
+    class CountingTable:
+        def __getattr__(self, name):
+            attr = getattr(inner, name)
+            if name in calls and callable(attr):
+                def wrapped(*a, **k):
+                    calls[name] += 1
+                    return attr(*a, **k)
+                return wrapped
+            return attr
+
+    reader._tbl = CountingTable()
+
+    # three fresh append commits land after the wrap
+    t.append(spark.createDataFrame(
+        _rows(spark, 4, src="a1", tok0=50, prefix="x"), schema=SCHEMA_DDL))
+    t.append(spark.createDataFrame(
+        _rows(spark, 4, src="a2", tok0=70, prefix="y"), schema=SCHEMA_DDL))
+    t.append(spark.createDataFrame(
+        _rows(spark, 4, src="a3", tok0=90, prefix="z"), schema=SCHEMA_DDL))
+    hi = t.current_version()
+    parts = reader.partitions({"version": 1}, {"version": hi})
+    assert parts, "expected work units for three append commits"
+    assert calls["delta_record"] == hi - 1
+    assert calls["snapshot"] == 0, "driver planning must stay O(delta)"
+
+
+def test_stream_fallback_without_delta_records(spark, tmp_path):
+    """Tables written before the per-commit delta records (or with torn
+    delta writes) must still stream correctly via the full-diff fallback."""
+    import glob
+
+    cat, t = _mk_table(spark, tmp_path / "wh", rows=_rows(spark, 10),
+                       merge_mode="mor")
+    from mongo_bulk_data_migration_spark.streaming.replay import ChangeStreamReplayer
+    from mongo_bulk_data_migration_spark.sources.fixtures import changes_df
+
+    events = changes_df(spark, 10, 40, n_parts=2, parallelism=2)
+    rep = ChangeStreamReplayer(
+        spark, str(tmp_path / "wh"), "seqs", "nodelta", evolve_schema=False)
+    rep.apply_changes(events, events_per_batch=20)
+    # simulate a pre-delta-record table: drop every delta sidecar
+    removed = 0
+    for p in glob.glob(str(tmp_path / "wh" / "seqs" / "_meta" / "delta-*.json")):
+        os.remove(p)
+        removed += 1
+    assert removed > 0
+    _assert_parity(spark, cat, t, tmp_path / "wh", 1)
+
+
+def test_max_commits_per_trigger_paces_after_restart(spark, tmp_path):
+    """A follower RESUMING from checkpoint into a deep backlog must pace
+    too: Spark replays the restored batch through partitions() before the
+    first latestOffset (traced call-order contract in stream_source), so
+    the pacing floor is the checkpointed position, never fromVersion."""
+    import time
+
+    cat, t = _mk_table(spark, tmp_path / "wh", rows=_rows(spark, 8))
+    spark.dataSource.register(ChangeFeedDataSource)
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(sink):
+        return (
+            spark.readStream.format("mbdm_changefeed")
+            .option("warehouse", str(tmp_path / "wh"))
+            .option("table", "seqs")
+            .option("fromVersion", 0)
+            .option("maxCommitsPerTrigger", 2)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    first: list[set[int]] = []
+    q = start(lambda df, eid: first.append(
+        {r["_commit_version"] for r in df.collect()}))
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and sum(map(len, first)) < 1:
+        time.sleep(0.5)
+    q.stop()
+    assert sorted(set().union(*first)) == [1]
+
+    # 4 commits land while the follower is down (deep backlog)
+    for i in range(4):
+        t.append(spark.createDataFrame(
+            _rows(spark, 4, src=f"r{i}", tok0=10 * i, prefix=f"r{i}"),
+            schema=SCHEMA_DDL))
+
+    second: list[set[int]] = []
+    q = start(lambda df, eid: second.append(
+        {r["_commit_version"] for r in df.collect()} or None) if df.count() else None)
+    deadline = time.monotonic() + 180
+    while time.monotonic() < deadline:
+        if sum(len(vs) for vs in second if vs) >= 4:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = [sorted(vs) for vs in second if vs]
+    assert got == [[2, 3], [4, 5]]
