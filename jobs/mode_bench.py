@@ -61,11 +61,26 @@ try:
     ms = rep.apply_changes(events, events_per_batch=max(n_events // batches, 1))
     wall = time.monotonic() - t0
     t2 = cat.load_table("sequences")
+    # read-amplification leg (VERDICT r4 #6): K full scans AFTER the replay
+    # — MoR modes pay their deferred fold here (per-bucket last-wins resolve
+    # over the surviving delta layers), COW/compacted modes read plain
+    # parquet.  The scan touches the wide tokens column so the resolve cost
+    # is real, not pruned away.
+    from pyspark.sql import functions as F
+    reads = []
+    for _ in range({read_k}):
+        r0 = time.monotonic()
+        t2.read(spark).agg(
+            F.sum("n_tok"), F.sum(F.size("tokens")), F.count(F.lit(1))
+        ).collect()
+        reads.append(round(time.monotonic() - r0, 3))
     print("RESULT " + json.dumps({{
         "strategy": strategy, "merge_mode": merge_mode, "cores": cores,
         "auto_compact": auto_compact, "final_delta_layers": t2.delta_layers(),
         "n_docs": n_docs, "n_events": n_events, "n_batches": len(ms),
         "wall_s": round(wall, 2), "events_per_sec": round(n_events / wall, 1),
+        "read_k": {read_k}, "read_s": reads,
+        "read_median_s": sorted(reads)[len(reads) // 2],
         "staged_bytes": max((m.get("staged_bytes") or 0) for m in ms),
     }}))
 finally:
@@ -85,11 +100,11 @@ MODES = [
 
 
 def run_leg(cores, n_docs, n_events, batches, buckets, strategy, merge_mode,
-            auto_compact=0) -> dict:
+            auto_compact=0, read_k=8) -> dict:
     code = WORKER.format(
         repo=REPO, cores=cores, n_docs=n_docs, n_events=n_events,
         batches=batches, buckets=buckets, strategy=strategy, merge_mode=merge_mode,
-        auto_compact=auto_compact,
+        auto_compact=auto_compact, read_k=read_k,
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
@@ -108,6 +123,9 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--read-k", type=int, default=8,
+                    help="full-table scans timed after each replay (read-"
+                         "amplification side of the MoR/compaction trade)")
     ap.add_argument("--window-gate-frac", type=float, default=0.55,
                     help="leg precondition: host must deliver >= frac * "
                          "measured-clean-speedup * per-core capacity at "
@@ -138,7 +156,8 @@ def main() -> None:
                                                   "wait": w}}), flush=True)
                 time.sleep(args.window_wait_s)
             r = run_leg(args.cores, args.docs, n_events, args.batches,
-                        args.buckets, strategy, merge_mode, auto_compact=ac)
+                        args.buckets, strategy, merge_mode, auto_compact=ac,
+                        read_k=args.read_k)
             r.update({"round": rep, "probe_mops": probe,
                       "io_mbps": host_probe_io(), "gate_need": round(need, 1),
                       "gated": gated, "commit": commit, "mode": name})
@@ -156,22 +175,36 @@ def main() -> None:
         f"rounds, each leg behind a pre-registered host-window gate",
         f"(probe >= {need:.0f} Mops); commit {commit}.  Median of rounds:",
         "",
-        "| mode | median ev/s | runs (ev/s) | min leg probe (Mops) | final delta layers |",
-        "|---|---|---|---|---|",
+        f"| mode | median ev/s | runs (ev/s) | min leg probe (Mops) | final delta layers "
+        f"| med scan s | replay + {args.read_k} reads s |",
+        "|---|---|---|---|---|---|---|",
     ]
     medians = {}
+    totals = {}
     for name, _, _, _ in MODES:
         rs = sorted(r["events_per_sec"] for r in results[name])
         medians[name] = rs[len(rs) // 2]
         probes = [r["probe_mops"] for r in results[name]]
         layers = sorted({r.get("final_delta_layers", 0) for r in results[name]})
+        scans = sorted(r.get("read_median_s", 0) for r in results[name])
+        scan_med = scans[len(scans) // 2]
+        walls = sorted(r["wall_s"] for r in results[name])
+        totals[name] = round(walls[len(walls) // 2] + args.read_k * scan_med, 1)
         lines.append(
             f"| {name} | {medians[name]:,.0f} | "
             + ", ".join(f"{v:,.0f}" for v in rs)
             + f" | {min(probes):.0f} | {'/'.join(str(x) for x in layers)} |"
+            f" {scan_med:.2f} | {totals[name]:,.1f} |"
         )
     staged = max(r.get("staged_bytes", 0) for rs in results.values() for r in rs)
     lines += [
+        "",
+        f"The `replay + {args.read_k} reads` column is the two-sided cadence"
+        " trade (VERDICT r4 #6): plain MoR defers its fold to EVERY read"
+        " (delta-layer resolve per scan), auto-compact pays mid-replay folds"
+        " once and reads plain parquet after.  Auto-compact's cadence earns"
+        " its keep when workloads read more than they replay; the totals"
+        " column states the crossover at the configured K.",
         "",
         f"Per-batch staged source: ~{staged / (1 << 20):.1f} MB on disk "
         f"(uncompressed parquet) — the measured quantity `merge_strategy='auto'`"
