@@ -729,7 +729,14 @@ the PRIMARY multi-JVM scaling metric:
   not work.  cpu_eff is therefore computed on ALL attributed pairs, held
   or sheared, and the group median over attributed pairs is the reported
   number.  Wall-time efficiency remains reported alongside (secondary),
-  with the unchanged hold rule.
+  with the unchanged hold rule.  Measured limit of the invariance (first
+  round-5 session, recorded before any median was claimed): a DEEPLY
+  collapsed window (bracket probes < ~60 Mops vs ~200 clean) still
+  inflates the wider leg's CPU — involuntary preemption drives JVM lock
+  convoys/GC interference that burn real cycles — observed as a 0.471
+  outlier pair whose own gate probes flag it.  cpu_eff degrades gracefully
+  rather than binarily, the per-pair probes make degraded pairs visible,
+  and the group MEDIAN is the claim.
 - **criterion**: the north rule's >=0.8 N->4N efficiency is met on this
   metric when the group median cpu_eff >= 0.8 — i.e. giving the job 4x the
   executors costs <=25% extra CPU per event, so with 4x cores actually

@@ -17,6 +17,7 @@ import os
 import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -67,6 +68,10 @@ try:
             wrep.apply_changes(wev, events_per_batch={warm_docs})
         finally:
             shutil.rmtree(wwh, ignore_errors=True)
+    t0_marker = {t0_marker!r}
+    if t0_marker:
+        with open(t0_marker, "w") as _f:
+            _f.write(str(time.time()))
     t0 = time.monotonic()
     ms = rep.apply_changes(events, events_per_batch=max(n_events // batches, 1))
     wall = time.monotonic() - t0
@@ -83,9 +88,11 @@ finally:
 
 
 def run(cores: int, n_docs: int, n_events: int, batches: int, buckets: int, strategy: str = "broadcast", warm_docs: int = 0) -> dict:
+    t0_marker = tempfile.mktemp(prefix="scale_t0_")
     code = WORKER.format(
         repo=REPO, cores=cores, n_docs=n_docs, n_events=n_events, batches=batches,
         buckets=buckets, strategy=strategy, warm_docs=warm_docs,
+        t0_marker=t0_marker,
     )
     # Pin the whole worker process tree (JVM task threads AND its GC/IO/
     # python-worker helpers) to exactly `cores` CPUs: local[N] alone only
@@ -99,14 +106,40 @@ def run(cores: int, n_docs: int, n_events: int, batches: int, buckets: int, stra
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     sampler = LegSampler()
     sampler.start()
+    # CPU-normalized companion figure (round 5, protocol in CLUSTER.md):
+    # spark-process CPU-seconds over the timed window, tree-scoped
+    from cluster_scaling import _CpuAttributor
+
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    attrib = _CpuAttributor(t0_marker=t0_marker, root_pid=proc.pid)
+    attrib.start()
     try:
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        try:
+            out_s, err_s = proc.communicate(timeout=3600)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            raise
+        out = subprocess.CompletedProcess(cmd, proc.returncode, out_s, err_s)
     finally:
         during = sampler.stop()
+        cpu_s = attrib.stop()
+        try:
+            os.unlink(t0_marker)
+        except OSError:
+            pass
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             r = json.loads(line[len("RESULT "):])
             r["during_probe_mops"] = during
+            # local mode: the one JVM is driver AND executor — total spark
+            # CPU is the executor-side figure
+            total_cpu = round(sum(cpu_s.values()), 1)
+            r["cpu_s"] = cpu_s
+            r["exec_cpu_s"] = total_cpu
+            r["ev_per_exec_cpu_s"] = (
+                round(n_events / total_cpu, 1) if total_cpu else None)
             return r
     sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
     raise RuntimeError(f"no RESULT from cores={cores}")
@@ -391,9 +424,14 @@ def main() -> None:
         for leg in (r_n, r_4n):
             leg["held"] = held
             leg["held_bar_mops"] = bar8
+        # CPU-normalized companion (round-5 protocol, BENCH/CLUSTER.md):
+        # valid on held AND sheared pairs — the host window stretches wall,
+        # not the work's CPU-seconds
+        n_c, x_c = r_n.get("ev_per_exec_cpu_s"), r_4n.get("ev_per_exec_cpu_s")
+        cpu_eff = round(x_c / n_c, 3) if n_c and x_c else None
         pairs.append({"n": r_n, "4n": r_4n, "eff": round(eff, 3),
                       "probes": [probe0, probe1, probe2], "held": held,
-                      "host_par_eff": host_par_eff})
+                      "host_par_eff": host_par_eff, "cpu_eff": cpu_eff})
         with open(log_path, "a") as f:
             for r, pr in ((r_n, [probe0, probe1]), (r_4n, [probe1, probe2])):
                 f.write(json.dumps({**r, "strategy": args.strategy, "commit": commit,
@@ -477,7 +515,7 @@ def main() -> None:
     r_n, r_4n, eff = med["n"], med["4n"], med["eff"]
 
     all_pairs = "; ".join(
-        "pair{}: N={:,.0f} 4N={:,.0f} eff={}{} host~{}Mops{}".format(
+        "pair{}: N={:,.0f} 4N={:,.0f} eff={}{} host~{}Mops{}{}".format(
             i, p["n"]["events_per_sec"], p["4n"]["events_per_sec"], p["eff"],
             "" if p.get("held", True) else " [SHEARED]",
             min(p.get("probes") or [0]),
@@ -485,8 +523,17 @@ def main() -> None:
                 args.xn_cores, p["host_par_eff"],
                 round(p["eff"] / p["host_par_eff"], 2))
              if p.get("host_par_eff") else ""),
+            (f" cpu-eff={p['cpu_eff']}" if p.get("cpu_eff") else ""),
         )
         for i, p in enumerate(pairs)
+    )
+    cpu_effs = sorted(p["cpu_eff"] for p in pairs if p.get("cpu_eff"))
+    cpu_med_note = (
+        "CPU-normalized pair efficiency (round-5 protocol, BENCH/CLUSTER.md: "
+        "events per spark-CPU-second ratio, valid on sheared pairs too): "
+        + ", ".join(f"{v:.3f}" for v in cpu_effs)
+        + f" — median **{cpu_effs[len(cpu_effs) // 2]:.3f}**."
+        if cpu_effs else ""
     )
     cpu_note = "same 32-proc integer benchmark measured 6.5k-48k units/s across minutes"
     # cross-workload summary over every pair measured under the pinned
@@ -548,6 +595,7 @@ pairs, commit {commit}; {len(pairs)} pairs ran this session):
   pair ran under different deliverable-CPU caps despite being back-to-back;
   the per-pair host probes below make those visible. The median is the
   claim.
+- {cpu_med_note}
 - During-leg hold rule (pre-registered): an 8-proc capacity sample runs
   every ~45 s INSIDE each leg; a pair is excluded from the claimed median
   (but still logged and shown) when any sample of either leg fell below
