@@ -672,6 +672,18 @@ pinned, 3 pairs)**; the 8M rerun under the same gate improved 0.623 → 0.785
 fully accounted for by the measured per-batch serial cost above rather than
 by any non-scaling operator in the merge path.
 
+Round-5 8M SINGLE-batch group (commit 3a3809c, the fit's predicted shape:
+8M events/batch sits past the ≈4.4M crossover): 2 of 3 pairs HELD the
+during-leg rule — the first held pairs in seven sessions — wall medians
+0.765 (held pairs), and under the round-5 pre-registered CPU-normalized
+metric (BENCH/CLUSTER.md) the all-pairs median is **cpu_eff 0.848**
+(0.728 / 0.848 / 0.886) — **>= 0.8**.  The residual wall-eff gap is the
+host, not the engine: each pair's own pure-CPU probe curve measured the
+host delivering 2→8-process parallel efficiency of only 0.763-0.798
+(`host_par_eff`) in those windows, i.e. measured wall eff ≈ the ceiling
+the host could deliver to ANY 8-way job; the CPU-normalized figure, which
+divides delivered capacity out, clears the bar with margin.
+
 ### Serial-cost attack (round 3, after the fit above)
 
 The S ≈ 30-70 s/run the fit measures was attacked directly at the source
