@@ -82,8 +82,19 @@ def zip_pkg(tmp: str) -> str:
     return zpath
 
 
-def prep_input(tmp: str, docs: int, events_per_doc: int) -> tuple[str, str, int]:
-    """Generate the deterministic table + event log once (local[4] session)."""
+def prep_input(tmp: str, docs: int, events_per_doc: int,
+               buckets: int = 8) -> tuple[str, str, int]:
+    """Generate the deterministic table + event log once (local[4] session).
+
+    ``buckets`` sizes the table's hash-bucket layout — the parallelism
+    ceiling of every bucket-bound stage (pruned scans, the bucket-aligned
+    final write, changelog appends).  The headline local[N] workload runs
+    32 buckets; pre-round-5 cluster rows ran a hardcoded 8, which capped
+    those stages at 8-way and let skewed hot buckets straggle the 4N leg
+    (measured 2026-08-19: exec_busy_frac 0.447 on a tmpfs workdir — i.e.
+    NOT disk — at 8 buckets).  A real deployment sizes buckets to the
+    cluster; rows carry ``buckets`` so groups are compared like-for-like.
+    """
     from mongo_bulk_data_migration_spark import Catalog
     from mongo_bulk_data_migration_spark.session import get_spark
     from mongo_bulk_data_migration_spark.sources.fixtures import (
@@ -93,7 +104,7 @@ def prep_input(tmp: str, docs: int, events_per_doc: int) -> tuple[str, str, int]
     spark = get_spark(app_name="cluster-prep", master="local[4]", shuffle_partitions=4)
     wh = os.path.join(tmp, "wh0")
     cat = Catalog(wh)
-    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=8)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, num_buckets=buckets)
     t.append(sequences_df(spark, docs, parallelism=4))
     ev_dir = os.path.join(tmp, "events")
     changes_df(spark, docs, n_events, n_parts=4, parallelism=4).write.parquet(ev_dir)
@@ -490,6 +501,10 @@ def main() -> None:
     ap.add_argument("--log-path", default=None,
                     help="override the raw-history jsonl (smoke tests write "
                          "to a scratch path so BENCH history stays clean)")
+    ap.add_argument("--buckets", type=int, default=8,
+                    help="table hash-bucket count (see prep_input docstring:"
+                         " 8 = pre-round-5 rows, 32 = headline local[N]"
+                         " workload shape)")
     args = ap.parse_args()
     xn = 4 * args.n_exec
     n_events = args.docs * args.events_per_doc
@@ -508,7 +523,8 @@ def main() -> None:
     pairs = []
     try:
         zpath = zip_pkg(tmp)
-        wh0, ev_dir, n_events = prep_input(tmp, args.docs, args.events_per_doc)
+        wh0, ev_dir, n_events = prep_input(tmp, args.docs, args.events_per_doc,
+                                           buckets=args.buckets)
         per_core = host_probe(1, 8_000_000)
         for i in range(args.repeats):
             # gate on the 4N leg's TOTAL footprint (executor cores + driver),
@@ -573,6 +589,7 @@ def main() -> None:
                                         "host_probe_mops": pr,
                                         "host_io_mbps": host_probe_io(),
                                         "workdir_fs": fs_type,
+                                        "buckets": args.buckets,
                                         "mode": "local-cluster", "pinned": True}) + "\n")
             print(json.dumps(pair), flush=True)
     finally:
