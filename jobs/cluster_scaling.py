@@ -649,6 +649,20 @@ def write_report(log_path: str) -> None:
     sections = []
     summary = []
     for (n_events, commit), ps in sorted(groups.items()):
+        # variant markers (round 5): surface workdir fs / bucket count /
+        # batch shape so tmpfs and 32-bucket groups are not conflated with
+        # the default-disk 8-bucket rows they sit next to
+        v = []
+        fs = {p["lo"].get("workdir_fs") for p in ps} - {None, "?"}
+        if fs and fs != {"ext2/ext3"}:
+            v.append("workdir=" + "/".join(sorted(fs)))
+        bks = {p["lo"].get("buckets") for p in ps} - {None}
+        if bks:
+            v.append("buckets=" + "/".join(str(b) for b in sorted(bks)))
+        nb = {len(p["lo"].get("batch_phases") or []) for p in ps} - {0}
+        if nb == {1}:
+            v.append("single-batch")
+        variant = (" [" + ", ".join(v) + "]") if v else ""
         lines = "\n".join(
             "| {} | {:,.0f} | {:,.0f} | {:.3f} | {} | {} | {} | {} | {} |".format(
                 p["pair"], p["lo"]["events_per_sec"], p["hi"]["events_per_sec"],
@@ -667,10 +681,10 @@ def write_report(log_path: str) -> None:
         n_shear = sum(p["cls"] == "SHEARED" for p in ps)
         note = f" ({n_shear}/{len(ps)} sheared, excluded)" if n_shear else ""
         summary.append(
-            f"| {n_events:,} | {commit} | {len(ps)} | {med}{note} | "
+            f"| {n_events:,} | {commit}{variant} | {len(ps)} | {med}{note} | "
             f"{cmed} ({len(cok)} pairs) |")
         sections.append(
-            f"### {n_events:,} events (commit {commit}) — wall median of "
+            f"### {n_events:,} events (commit {commit}{variant}) — wall median of "
             f"rule-passing pairs: **{med}**{note}; CPU-normalized median "
             f"(all attributed pairs): **{cmed}**\n\n"
             "| pair | N ev/s | 4N ev/s | wall eff | hold rule | min bracket probe "
