@@ -368,6 +368,14 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
         # shuffle/spill files follow the workdir: a tmpfs workdir must take
         # the shared disk out of the SHUFFLE path too, not just the tables
         "--conf", f"spark.local.dir={os.path.join(tmp, 'sparklocal_' + tag)}",
+        # delay scheduling OFF (round 5): with the default 3s locality wait
+        # every post-shuffle wave idles cores waiting for "preferred"
+        # executors — a penalty ONLY the multi-executor leg pays (a single
+        # executor is always process-local), measured 2026-08-19 as the 4N
+        # leg's executors idling ~53% on a tmpfs workdir (not disk) at both
+        # 8 and 32 buckets.  Shuffle-bound ETL reads its shuffle blocks
+        # remotely regardless; 0s is the standard setting for this shape.
+        "--conf", "spark.locality.wait=0s",
         "--conf", "spark.ui.enabled=false",
         f"--conf", f"spark.executor.memory={exec_mb}m",
         # size each JVM's ergonomics (GC worker threads, JIT compiler
