@@ -29,7 +29,8 @@ from collections import defaultdict
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "jobs"))
 
-from cluster_scaling import SPARK_SUBMIT, prep_input, zip_pkg  # noqa: E402
+from cluster_scaling import (  # noqa: E402
+    SPARK_SUBMIT, _CpuAttributor, prep_input, zip_pkg)
 
 
 def _prefix(name: str) -> str:
@@ -50,10 +51,10 @@ class DirSampler(threading.Thread):
         self.cur_by_prefix: dict[str, int] = defaultdict(int)
         self.peak_by_dir: dict[str, int] = defaultdict(int)
         self.seen_bytes_by_file: dict[str, int] = {}
-        self._stop = threading.Event()
+        self._halt = threading.Event()
 
     def run(self) -> None:
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             cur_pref: dict[str, int] = defaultdict(int)
             cur_dir: dict[str, int] = defaultdict(int)
             for root in self.roots:
@@ -79,10 +80,10 @@ class DirSampler(threading.Thread):
             for k, v in cur_dir.items():
                 self.peak_by_dir[k] = max(self.peak_by_dir[k], v)
             self.cur_by_prefix = cur_pref
-            self._stop.wait(1.0)
+            self._halt.wait(1.0)
 
     def stop(self) -> dict:
-        self._stop.set()
+        self._halt.set()
         self.join(timeout=5)
         cum_by_prefix: dict[str, int] = defaultdict(int)
         for fp, sz in self.seen_bytes_by_file.items():
@@ -105,7 +106,7 @@ class FdMapper(threading.Thread):
     def __init__(self):
         super().__init__(daemon=True)
         self.owner: dict[str, str] = {}
-        self._stop = threading.Event()
+        self._halt = threading.Event()
 
     @staticmethod
     def _role(cmd: str) -> str | None:
@@ -118,7 +119,7 @@ class FdMapper(threading.Thread):
         return None
 
     def run(self) -> None:
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             for pid in os.listdir("/proc"):
                 if not pid.isdigit():
                     continue
@@ -141,10 +142,10 @@ class FdMapper(threading.Thread):
                                 self.owner.setdefault(key, f"{role}:{pid}")
                 except OSError:
                     continue
-            self._stop.wait(2.0)
+            self._halt.wait(2.0)
 
     def stop(self) -> dict[str, str]:
-        self._stop.set()
+        self._halt.set()
         self.join(timeout=5)
         return self.owner
 
@@ -198,8 +199,15 @@ def main() -> None:
         samp.start()
         fdm.start()
         t0 = time.monotonic()
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
+        attrib = _CpuAttributor(root_pid=proc.pid)
+        attrib.start()
+        out_s, err_s = proc.communicate(timeout=1800)
+        r = subprocess.CompletedProcess(cmd, proc.returncode, out_s, err_s)
         wall = time.monotonic() - t0
+        cpu_s = attrib.stop()
+        io_mb = attrib.io_mb()
         dirs = samp.stop()
         owners = fdm.stop()
         job_line = None
@@ -212,6 +220,8 @@ def main() -> None:
             "job": {k: job_line.get(k) for k in
                     ("wall_s", "events_per_sec", "prestage_s")} if job_line
             else None,
+            "cpu_s": cpu_s,
+            "io_mb": io_mb,
             "blocks": dirs,
             "dir_owners": owners,
         }, indent=1))
