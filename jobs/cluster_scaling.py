@@ -434,6 +434,8 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
     out["n_exec"] = n_exec
     out["exec_cores"] = exec_cores
     out["driver_cores"] = driver_cores
+    out["shuffle_parts"] = parts
+    out["parts_fixed"] = shuffle_partitions is not None
     out["n_repinned"] = n_repinned
     out["submit_wall_s"] = round(submit_wall, 2)
     out["during_probe_mops"] = during
@@ -704,6 +706,9 @@ def write_report(log_path: str) -> None:
         nb = {len(p["lo"].get("batch_phases") or []) for p in ps} - {0}
         if nb == {1}:
             v.append("single-batch")
+        if all(p["lo"].get("parts_fixed") for p in ps):
+            pts = {p["lo"].get("shuffle_parts") for p in ps}
+            v.append("constant-parts=" + "/".join(str(x) for x in sorted(pts)))
         variant = (" [" + ", ".join(v) + "]") if v else ""
         lines = "\n".join(
             "| {} | {:,.0f} | {:,.0f} | {:.3f} | {} | {} | {} | {} | {} | {} |".format(
