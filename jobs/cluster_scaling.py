@@ -436,6 +436,7 @@ def run_leg(tmp: str, zpath: str, wh0: str, ev_dir: str, n_exec: int,
     out["driver_cores"] = driver_cores
     out["shuffle_parts"] = parts
     out["parts_fixed"] = shuffle_partitions is not None
+    out["warmup_events"] = warmup_events
     out["n_repinned"] = n_repinned
     out["submit_wall_s"] = round(submit_wall, 2)
     out["during_probe_mops"] = during
@@ -709,6 +710,9 @@ def write_report(log_path: str) -> None:
         if all(p["lo"].get("parts_fixed") for p in ps):
             pts = {p["lo"].get("shuffle_parts") for p in ps}
             v.append("constant-parts=" + "/".join(str(x) for x in sorted(pts)))
+        wms = {p["lo"].get("warmup_events") for p in ps} - {None, 400_000}
+        if wms:
+            v.append("warmup=" + "/".join(f"{w//1000}k" for w in sorted(wms)))
         variant = (" [" + ", ".join(v) + "]") if v else ""
         lines = "\n".join(
             "| {} | {:,.0f} | {:,.0f} | {:.3f} | {} | {} | {} | {} | {} | {} |".format(
@@ -833,6 +837,18 @@ overhead.  The criterion stays median cpu_eff >= 0.8; the ceiling column
 says how much of any shortfall the host itself charges ANY job at that
 footprint — a pair with cpu_eff at-or-above its window's ceiling is
 evidence the engine's multi-JVM overhead is nil in that window.
+
+Addendum 2 (pre-registered 2026-08-20, before the 25.6M-event group ran):
+`--warmup-events` was a constant TOTAL per leg (400k), so each of the 4N
+leg's executors received 1/4 the JIT/codegen warmup coverage of the N
+leg's single executor — residual warm-up CPU is charged asymmetrically to
+the wider leg, biasing cpu_eff DOWNWARD (against us, but still a
+measurement artifact: deploy-shape executors are long-running services
+whose one-time warmup amortizes to zero at either size).  Groups marked
+`warmup=...` scale the warmup replay with the max executor count
+(400k x 4 = 1.6M events) so per-JVM warmup coverage is EQUAL across both
+legs; the criterion and every other knob are unchanged.  Rows carry
+`warmup_events` so the variant is visible in the raw history.
 
 IO-column caveat (measured 2026-08-19): this sandbox kernel charges a
 reaped child's /proc io counters to its parent — control experiment: a
