@@ -29,6 +29,7 @@ import argparse
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -727,9 +728,9 @@ def write_report(log_path: str) -> None:
             for p in ps
         )
         ok = sorted(p["eff"] for p in ps if p["cls"] != "SHEARED")
-        med = f"{ok[len(ok) // 2]:.3f}" if ok else "—"
+        med = f"{statistics.median(ok):.3f}" if ok else "—"
         cok = sorted(p["cpu_eff"] for p in ps if p["cpu_eff"])
-        cmed = f"{cok[len(cok) // 2]:.3f}" if cok else "—"
+        cmed = f"{statistics.median(cok):.3f}" if cok else "—"
         n_shear = sum(p["cls"] == "SHEARED" for p in ps)
         note = f" ({n_shear}/{len(ps)} sheared, excluded)" if n_shear else ""
         summary.append(
