@@ -495,33 +495,65 @@ def run_merge(
       until ``compact()`` folds them. The right trade when batches touch
       most buckets (uniformly keyed CDC at 10^10-event scale).
     """
+    pending = stage_merge(table, plan, operation=operation, mode=mode)
+    return commit_merge(
+        table, plan, pending, applied=applied, properties=properties,
+        operation=operation,
+    )
+
+
+def stage_merge(
+    table: LakeTable,
+    plan: MergePlan,
+    operation: str = "merge",
+    mode: str | None = None,
+):
+    """Run the merge's Spark file writes WITHOUT committing the manifest.
+
+    Returns an opaque pending handle for :func:`commit_merge` (``None`` for
+    an empty batch — nothing staged).  The staged files are invisible until
+    commit, so a caller can overlap this — the expensive partition-parallel
+    phase — with work that must be durable BEFORE the merge becomes visible
+    (the replayer runs the changelog append concurrently and serializes only
+    the two manifest commits, preserving the backup-before-write WAL order
+    of ``reference/src/MongoBulkDataMigration.ts:170-173``)."""
     if not plan.touched:
-        return table.commit_marker(applied or {}, operation=operation, properties=properties)
+        return None
     mode = mode or table.snapshot().properties.get("merge_mode", "cow")
     if mode == "mor":
-        ver = table.append_deltas(
-            plan.delta,
+        pending = table.stage_append_deltas(plan.delta, plan.touched, operation=operation)
+    else:
+        pending = table.stage_overwrite_buckets(
+            plan.result,
             plan.touched,
             operation=operation,
-            applied=applied,
-            properties=properties,
+            repartition=not plan.result_prepartitioned,
         )
-        # auto-compaction cadence (VERDICT r3 #8): a long MoR replay grows a
-        # delta layer per batch and read amplification with it; fold the
-        # layers whenever their count exceeds the table's cadence property
-        # (`auto_compact_layers`, default 8; 0 disables).  The compact is its
-        # own commit AFTER the batch's atomic marker commit, so crash
-        # semantics are untouched — a lost compaction is re-triggered by the
-        # next batch, and the changefeed diffs a pure compaction to zero.
+    pending.merge_mode = mode
+    return pending
+
+
+def commit_merge(
+    table: LakeTable,
+    plan: MergePlan,
+    pending,
+    applied: dict | None = None,
+    properties: dict | None = None,
+    operation: str = "merge",
+) -> int:
+    """Atomically publish a staged merge (manifest flip + markers)."""
+    if pending is None:
+        return table.commit_marker(applied or {}, operation=operation, properties=properties)
+    ver = pending.commit(applied=applied, properties=properties)
+    # auto-compaction cadence (VERDICT r3 #8): a long MoR replay grows a
+    # delta layer per batch and read amplification with it; fold the
+    # layers whenever their count exceeds the table's cadence property
+    # (`auto_compact_layers`, default 8; 0 disables).  The compact is its
+    # own commit AFTER the batch's atomic marker commit, so crash
+    # semantics are untouched — a lost compaction is re-triggered by the
+    # next batch, and the changefeed diffs a pure compaction to zero.
+    if getattr(pending, "merge_mode", None) == "mor":
         k = int(table.snapshot().properties.get("auto_compact_layers", 8) or 0)
         if k and table.delta_layers() > k:
             table.compact(plan.delta.sparkSession)
-        return ver
-    return table.overwrite_buckets(
-        plan.result,
-        plan.touched,
-        operation=operation,
-        applied=applied,
-        properties=properties,
-        repartition=not plan.result_prepartitioned,
-    )
+    return ver

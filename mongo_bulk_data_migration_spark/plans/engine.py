@@ -26,7 +26,8 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..operators.merge import OP_COL, build_merge_plan, run_merge
+from ..operators.merge import (
+    OP_COL, build_merge_plan, commit_merge, run_merge, stage_merge)
 from ..sources.catalog import Catalog
 from ..sources.laketable import LakeTable
 from .changelog import Changelog
@@ -160,21 +161,50 @@ class MongoBulkDataMigrationSpark:
             )
             try:
                 start_ver = target.current_version()
-                n_backups = cl.append_batch(
-                    self.spark,
-                    plan.preimage,
-                    batch_id,
-                    update_query,
-                    self._backup_cols(target),
-                    bucket_hint=plan.touched,
-                )
+                # recorded BEFORE the staged merge claims its version: no
+                # other target commit may land between stage and commit
                 self._record_migration_start(target, start_ver)
-                run_merge(
+                # pipelined commit (same as the CDC replayer): the backup
+                # append overlaps the merge's file writes; only the two
+                # manifest COMMITS are ordered (changelog first — B2 WAL)
+                op_name = f"migration-{cfg.id}-batch-{batch_id}"
+                pend_box: dict[str, Any] = {}
+
+                def _stage(plan=plan, op_name=op_name):
+                    try:
+                        pend_box["pending"] = stage_merge(target, plan, operation=op_name)
+                    except BaseException as e:
+                        pend_box["error"] = e
+
+                th = None
+                if cfg.options.pipeline_commit:
+                    from pyspark import InheritableThread
+
+                    th = InheritableThread(target=_stage, daemon=True)
+                    th.start()
+                try:
+                    n_backups = cl.append_batch(
+                        self.spark,
+                        plan.preimage,
+                        batch_id,
+                        update_query,
+                        self._backup_cols(target),
+                        bucket_hint=plan.touched,
+                    )
+                finally:
+                    if th is not None:
+                        th.join()
+                if "error" in pend_box:
+                    raise pend_box["error"]
+                if th is None:
+                    pend_box["pending"] = stage_merge(target, plan, operation=op_name)
+                commit_merge(
                     target,
                     plan,
-                    operation=f"migration-{cfg.id}-batch-{batch_id}",
+                    pend_box["pending"],
                     applied={cfg.id: {"batch_id": batch_id}},
                     properties={"writer": cfg.id},
+                    operation=op_name,
                 )
                 m = plan.metrics()  # before release(): reads the staged frames
             finally:

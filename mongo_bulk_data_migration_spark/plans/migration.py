@@ -54,6 +54,11 @@ class MigrationOptions:
     merge_strategy: str = "auto"
     broadcast_threshold_bytes: int = 64 << 20
     dedup_salt: int | None = None       # extra two-phase salt for hot keys
+    # overlap the changelog append with the merge's file writes (manifest
+    # commits stay strictly ordered: changelog first — B2 WAL semantics are
+    # about commit visibility, not file IO); False restores the fully
+    # serial per-batch protocol for A/B measurement
+    pipeline_commit: bool = True
 
 
 @dataclass

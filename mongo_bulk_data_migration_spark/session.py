@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("MBDM_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # LakeTable scans pass the manifest's explicit file list to the
+        # parquet reader; above this many paths Spark launches a distributed
+        # listing job just to re-stat files the manifest already knows.
+        # 2048 keeps per-batch hot-path scans (typically 10^1-10^3 files
+        # after bucket pruning) driver-side — one fewer job per phase per
+        # batch; scans wider than this still fan the listing out to the
+        # cluster, which is the right trade on object storage.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "2048")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -469,6 +469,33 @@ class LakeTable:
         by reference, so write amplification is bounded by the touched-bucket
         fraction — the property that keeps 10^10-event replay tractable.
         """
+        return self.stage_overwrite_buckets(df, buckets, operation, repartition).commit(
+            applied=applied, properties=properties
+        )
+
+    def stage_overwrite_buckets(
+        self,
+        df: DataFrame,
+        buckets: Iterable[int],
+        operation: str = "merge",
+        repartition: bool = True,
+    ) -> "PendingCommit":
+        """Write the copy-on-write files for ``overwrite_buckets`` WITHOUT
+        committing the manifest.  The staged files are invisible to every
+        reader until :meth:`PendingCommit.commit` flips the manifest — so a
+        caller can overlap this (the expensive, partition-parallel Spark
+        write) with other work whose durability must PRECEDE the commit
+        (e.g. the replayer overlaps the changelog append with the merge
+        write and orders only the two manifest commits; the WAL discipline
+        `reference/src/MongoBulkDataMigration.ts:170-173` constrains commit
+        visibility, not file IO).  A crash before commit leaves orphan files
+        under ``data/snap-<v>`` that no manifest references — re-staged on
+        replay (same version => same directory, mode=overwrite) and swept by
+        snapshot GC.  The version is claimed at stage time; the create-if-
+        absent race in ``_write_snapshot`` still decides concurrent
+        committers, so a lost race fails the commit loudly with orphans,
+        never a clobbered snapshot.
+        """
         bset = set(buckets)
         snap = self._next_snapshot(operation)
         snap.files = [f for f in snap.files if f["bucket"] not in bset]
@@ -477,12 +504,7 @@ class LakeTable:
         if stray:
             raise ValueError(f"write produced rows outside touched buckets: {stray[:3]}")
         snap.files.extend(new_entries)
-        if applied:
-            snap.applied.update(applied)
-        if properties:
-            snap.properties.update(properties)
-        self._write_snapshot(snap)
-        return snap.version
+        return PendingCommit(self, snap)
 
     def append_deltas(
         self,
@@ -499,6 +521,20 @@ class LakeTable:
         bucket bytes). Readers resolve layers last-wins; ``compact()`` folds
         them back into base files.
         """
+        return self.stage_append_deltas(df, buckets, operation, repartition).commit(
+            applied=applied, properties=properties
+        )
+
+    def stage_append_deltas(
+        self,
+        df: DataFrame,
+        buckets: Iterable[int],
+        operation: str = "merge-mor",
+        repartition: bool = True,
+    ) -> "PendingCommit":
+        """MoR counterpart of :meth:`stage_overwrite_buckets`: write the
+        delta-layer files now, commit the manifest later (same crash/race
+        contract — staged files are unreferenced orphans until commit)."""
         bset = set(buckets)
         snap = self._next_snapshot(operation)
         dseq = 1 + max(
@@ -520,12 +556,7 @@ class LakeTable:
             e["kind"] = "delta"
             e["dseq"] = dseq
         snap.files.extend(entries)
-        if applied:
-            snap.applied.update(applied)
-        if properties:
-            snap.properties.update(properties)
-        self._write_snapshot(snap)
-        return snap.version
+        return PendingCommit(self, snap)
 
     def delta_layers(self, bucket: int | None = None) -> int:
         """Number of distinct delta layers (optionally for one bucket)."""
@@ -668,3 +699,34 @@ class LakeTable:
                 except OSError:
                     pass
         return removed
+
+
+class PendingCommit:
+    """Staged data files awaiting their atomic manifest commit.
+
+    Produced by ``LakeTable.stage_overwrite_buckets`` / ``stage_append_deltas``.
+    Holds the fully-built next ``Snapshot`` (files already written and listed);
+    :meth:`commit` is driver-side metadata only — it stamps ``applied`` markers
+    and properties, then runs the create-if-absent version race + CURRENT flip.
+    Nothing staged is visible to any reader until then.
+    """
+
+    def __init__(self, table: LakeTable, snap: Snapshot):
+        self.table = table
+        self.snap = snap
+
+    @property
+    def version(self) -> int:
+        return self.snap.version
+
+    def commit(
+        self,
+        applied: dict[str, Any] | None = None,
+        properties: dict[str, Any] | None = None,
+    ) -> int:
+        if applied:
+            self.snap.applied.update(applied)
+        if properties:
+            self.snap.properties.update(properties)
+        self.table._write_snapshot(self.snap)
+        return self.snap.version

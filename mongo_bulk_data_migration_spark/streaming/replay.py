@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 
 from ..functions.tokens import parse_transform, transform_expr
 from ..operators.dedup import last_wins
-from ..operators.merge import OP_COL, build_merge_plan, run_merge
+from ..operators.merge import OP_COL, build_merge_plan, commit_merge, stage_merge
 from ..plans.changelog import Changelog
 from ..plans.engine import MongoBulkDataMigrationSpark
 from ..plans.obsutil import observed
@@ -458,28 +458,68 @@ class ChangeStreamReplayer:
         try:
             cl = Changelog(self.catalog, cfg.rollback_table_name, target, cfg.id)
             start_ver = target.current_version()
+            # record the pre-migration version FIRST (idempotent, once per
+            # migration, driver-side metadata commit): the staged merge
+            # below claims the next version at stage time, so no other
+            # target commit may land between stage and commit_merge
+            self.engine._record_migration_start(target, start_ver)
             t2 = time.monotonic()
-            sc.setJobDescription(f"cdc b{batch_id}: changelog")
-            n_backups = cl.append_batch(
-                self.spark,
-                plan.preimage,
-                batch_id,
-                update_query=f'{{"cdc_batch": {batch_id}}}',
-                backup_cols=None,  # full pre-image for CDC
-                bucket_hint=plan.touched,
-            )
+            # Pipelined commit (round 5): the changelog append and the
+            # merge's FILE WRITES run concurrently — the WAL discipline
+            # (B2, `MongoBulkDataMigration.ts:170-173`) constrains commit
+            # VISIBILITY, not file IO: staged merge files are unreferenced
+            # by any manifest until commit_merge flips the pointer, which
+            # happens strictly after the changelog commit below.  A crash
+            # anywhere in between leaves orphan data files and an intact
+            # table — replay re-stages them (same version => same dir).
+            # This hides ~min(t_changelog, t_merge_write) of the per-batch
+            # serial floor, the Amdahl `S` that caps N->4N scaling.
+            op_name = f"cdc-{cfg.id}-batch-{batch_id}"
+            pend_box: dict[str, Any] = {}
+
+            def _stage_files() -> None:
+                try:
+                    sc.setJobDescription(f"cdc b{batch_id}: merge-write")
+                    pend_box["pending"] = stage_merge(target, plan, operation=op_name)
+                except BaseException as e:  # surfaced after join
+                    pend_box["error"] = e
+
+            th = None
+            if cfg.options.pipeline_commit:
+                from pyspark import InheritableThread
+
+                th = InheritableThread(target=_stage_files, daemon=True)
+                th.start()
+            try:
+                sc.setJobDescription(f"cdc b{batch_id}: changelog")
+                n_backups = cl.append_batch(
+                    self.spark,
+                    plan.preimage,
+                    batch_id,
+                    update_query=f'{{"cdc_batch": {batch_id}}}',
+                    backup_cols=None,  # full pre-image for CDC
+                    bucket_hint=plan.touched,
+                )
+            finally:
+                if th is not None:
+                    th.join()
+            # overlapped window: changelog append ∥ merge file write
             t_changelog = time.monotonic() - t2
+            if "error" in pend_box:
+                raise pend_box["error"]
             if crash_after and crash_after == (batch_id, "changelog"):
                 raise SimulatedCrash(batch_id, "changelog")
-            self.engine._record_migration_start(target, start_ver)
             t3 = time.monotonic()
             sc.setJobDescription(f"cdc b{batch_id}: merge-commit")
-            run_merge(
+            if th is None:
+                pend_box["pending"] = stage_merge(target, plan, operation=op_name)
+            commit_merge(
                 target,
                 plan,
-                operation=f"cdc-{cfg.id}-batch-{batch_id}",
+                pend_box["pending"],
                 applied={cfg.id: {"batch_id": batch_id, "max_seq": max_seq}},
                 properties={"writer": cfg.id},
+                operation=op_name,
             )
             t_merge = time.monotonic() - t3
             merge_metrics = plan.metrics()

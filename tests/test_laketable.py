@@ -212,3 +212,50 @@ def test_current_pointer_never_regresses_on_slow_commit(spark, warehouse):
     t._write_snapshot(snap)  # wins its own version file...
     cur = int(open(os.path.join(warehouse, "sequences", META_DIR, "CURRENT")).read())
     assert cur == v + 50  # ...but does not regress the pointer
+
+
+def test_staged_overwrite_invisible_until_commit(spark, warehouse):
+    """Pipelined-commit contract: stage_overwrite_buckets writes files but no
+    reader (current or time-traveled) sees them until PendingCommit.commit
+    flips the manifest — the invariant the replayer's changelog/merge-write
+    overlap rests on (WAL order constrains commit visibility, not file IO)."""
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=8)
+    t.append(sequences_spark(spark, 100))
+    before = rows_of(t.read(spark))
+    ver0 = t.current_version()
+
+    changed = t.read(spark, buckets=[2]).withColumn("source", F.lit("staged"))
+    pending = t.stage_overwrite_buckets(changed, [2])
+    # files are on disk, but the table is unchanged for every reader
+    assert t.current_version() == ver0
+    assert rows_of(t.read(spark)) == before
+    assert t.applied_marker("mig-x") is None
+
+    ver1 = pending.commit(applied={"mig-x": {"batch_id": 7}})
+    assert ver1 == ver0 + 1 == t.current_version()
+    got = rows_of(t.read(spark))
+    assert got != before
+    assert {r["source"] for r in rows_of(t.read(spark, buckets=[2]))} == {"staged"}
+    assert t.applied_marker("mig-x") == {"batch_id": 7}
+    # time travel to the pre-commit version still shows the old rows
+    assert rows_of(t.read(spark, version=ver0)) == before
+
+
+def test_staged_delta_invisible_until_commit(spark, warehouse):
+    """MoR counterpart: stage_append_deltas -> invisible until commit."""
+    cat = Catalog(warehouse)
+    t = cat.create_table(
+        "seq", SEQUENCES_SCHEMA, num_buckets=8, properties={"merge_mode": "mor"}
+    )
+    t.append(sequences_spark(spark, 50))
+    before = rows_of(t.read(spark))
+    one = t.read(spark).limit(1).withColumn("source", F.lit("delta"))
+    pending = t.stage_append_deltas(one, list(range(8)))
+    assert rows_of(t.read(spark)) == before
+    assert t.delta_layers() == 0
+    pending.commit()
+    assert t.delta_layers() == 1
+    after = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    changed_id = rows_of(one)[0]["doc_id"]
+    assert after[changed_id]["source"] == "delta"

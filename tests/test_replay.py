@@ -441,3 +441,39 @@ def test_multibatch_rollback_is_bucket_pruned(spark, warehouse):
     }
     assert rewritten_buckets <= set(touched), (rewritten_buckets, touched)
     assert rows_of(t2.read(spark)) == initial
+
+
+def test_pipelined_vs_serial_commit_parity(spark, warehouse, tmp_path):
+    """The round-5 pipelined commit (changelog append ∥ merge file write,
+    manifest commits still ordered changelog-first) must produce byte-equal
+    end state AND identical changelog content vs the fully serial protocol."""
+    import os
+
+    # serial run in its own warehouse
+    wh2 = os.path.join(str(tmp_path), "wh_serial")
+    cat_p, t_p, events, sim = setup_run(spark, warehouse)
+    cat_s = Catalog(wh2)
+    t_s = cat_s.create_table("seq", SEQUENCES_SCHEMA, num_buckets=8)
+    t_s.append(spark.createDataFrame(make_sequences(N_DOCS), SEQUENCES_SCHEMA))
+
+    rep_p = ChangeStreamReplayer(
+        spark, warehouse, "seq", "ab",
+        options=MigrationOptions(pipeline_commit=True),
+    )
+    rep_s = ChangeStreamReplayer(
+        spark, wh2, "seq", "ab",
+        options=MigrationOptions(pipeline_commit=False),
+    )
+    ev = changes_spark(spark, events)
+    rep_p.apply_changes(ev, events_per_batch=PER_BATCH)
+    rep_s.apply_changes(ev, events_per_batch=PER_BATCH)
+
+    assert rows_of(t_p.read(spark)) == rows_of(t_s.read(spark))
+    # changelog parity (pre-images drive rollback — must match too)
+    clp = cat_p.load_table("_rollback_seq_ab").read(spark)
+    cls = cat_s.load_table("_rollback_seq_ab").read(spark)
+    assert rows_of(clp.drop("date")) == rows_of(cls.drop("date"))
+    # and the pipelined run still rolls back exactly
+    initial = {r["doc_id"] for r in make_sequences(N_DOCS)}
+    rep_p.rollback()
+    assert {r["doc_id"] for r in rows_of(t_p.read(spark))} == initial
