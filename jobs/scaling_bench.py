@@ -21,6 +21,8 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# everything at/after this line in BENCH/BASELINE.md survives regeneration
+MANUAL_MARKER = "<!-- MANUAL-EVIDENCE: preserved verbatim by the report writer -->"
 
 WORKER = r"""
 import json, shutil, sys, tempfile, time
@@ -708,10 +710,22 @@ the pre-registered hold rule, never silently).
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    # ALWAYS rewrite: the artifact reflects the current commit's measurement;
-    # history lives in the jsonl
+    # ALWAYS rewrite the generated report (it reflects the current commit's
+    # measurement; history lives in the jsonl) — but preserve any curated
+    # evidence below the manual marker verbatim, so official-protocol run
+    # records and A/B write-ups survive regeneration
+    manual = ""
+    try:
+        with open(out_path) as f:
+            old = f.read()
+        if MANUAL_MARKER in old:
+            manual = old[old.index(MANUAL_MARKER):]
+    except OSError:
+        pass
     with open(out_path, "w") as f:
         f.write(md)
+        if manual:
+            f.write("\n" + manual)
     print(json.dumps({"N": r_n, "4N": r_4n, "pairs": [p["eff"] for p in pairs],
                       "efficiency_median": eff, "efficiency_best": best["eff"],
                       "commit": commit, "md_written": True}))
