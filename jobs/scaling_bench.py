@@ -24,6 +24,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # everything at/after this line in BENCH/BASELINE.md survives regeneration
 MANUAL_MARKER = "<!-- MANUAL-EVIDENCE: preserved verbatim by the report writer -->"
 
+
+def write_report_md(md: str, out_path: str) -> None:
+    """Rewrite the generated report, preserving curated evidence.
+
+    The generated half ALWAYS reflects the current commit's measurement
+    (history lives in the jsonl) — but everything at/after MANUAL_MARKER in
+    the existing file is carried over verbatim, so official-protocol run
+    records and A/B write-ups survive regeneration (one did not, once)."""
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    manual = ""
+    try:
+        with open(out_path) as f:
+            old = f.read()
+        if MANUAL_MARKER in old:
+            manual = old[old.index(MANUAL_MARKER):]
+    except OSError:
+        pass
+    with open(out_path, "w") as f:
+        f.write(md)
+        if manual:
+            f.write("\n" + manual)
+
 WORKER = r"""
 import json, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
@@ -708,24 +730,7 @@ PRE-change fit; post-change gated pairs land in the raw history and the
 pinned-protocol table as host windows allow (sheared pairs are excluded by
 the pre-registered hold rule, never silently).
 """
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    # ALWAYS rewrite the generated report (it reflects the current commit's
-    # measurement; history lives in the jsonl) — but preserve any curated
-    # evidence below the manual marker verbatim, so official-protocol run
-    # records and A/B write-ups survive regeneration
-    manual = ""
-    try:
-        with open(out_path) as f:
-            old = f.read()
-        if MANUAL_MARKER in old:
-            manual = old[old.index(MANUAL_MARKER):]
-    except OSError:
-        pass
-    with open(out_path, "w") as f:
-        f.write(md)
-        if manual:
-            f.write("\n" + manual)
+    write_report_md(md, os.path.join(REPO, "BENCH", "BASELINE.md"))
     print(json.dumps({"N": r_n, "4N": r_4n, "pairs": [p["eff"] for p in pairs],
                       "efficiency_median": eff, "efficiency_best": best["eff"],
                       "commit": commit, "md_written": True}))

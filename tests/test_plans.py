@@ -192,3 +192,24 @@ def test_replay_per_batch_job_count_bounded(spark, tmp_path, dead_letter_mode):
     n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
     # 4 batches: 6 (prestage) + 4 * 13 = 58; headroom for AQE stage variance
     assert n_jobs <= 70, f"per-batch job count regressed: {n_jobs} jobs for 4 batches"
+
+
+def test_report_writer_preserves_manual_evidence(tmp_path):
+    """BENCH report regeneration must keep everything below MANUAL_MARKER
+    (a regeneration once dropped the official-run records)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from scaling_bench import MANUAL_MARKER, write_report_md
+
+    p = str(tmp_path / "r.md")
+    write_report_md("# gen v1\n", p)
+    assert open(p).read() == "# gen v1\n"
+    with open(p, "a") as f:
+        f.write("\n" + MANUAL_MARKER + "\ncurated evidence\n")
+    write_report_md("# gen v2\n", p)
+    out = open(p).read()
+    assert out.startswith("# gen v2\n")
+    assert MANUAL_MARKER in out and "curated evidence" in out
+    # idempotent: regenerating again keeps exactly one manual section
+    write_report_md("# gen v3\n", p)
+    assert open(p).read().count(MANUAL_MARKER) == 1
