@@ -881,8 +881,9 @@ partition-parallel plan, not single-JVM thread sharing, carries the
 speedup.
 
 """ + "\n\n".join(sections) + "\n"
-    with open(os.path.join(REPO, "BENCH", "CLUSTER.md"), "w") as f:
-        f.write(md)
+    from scaling_bench import write_report_md
+
+    write_report_md(md, os.path.join(REPO, "BENCH", "CLUSTER.md"))
     print(json.dumps({"groups": {f"{k[0]}@{k[1]}": len(v)
                                  for k, v in groups.items()}}))
 
