@@ -59,6 +59,14 @@ class MigrationOptions:
     # about commit visibility, not file IO); False restores the fully
     # serial per-batch protocol for A/B measurement
     pipeline_commit: bool = True
+    # True materializes the HWM-filtered event stream to parquet scratch
+    # before the replay window (pays an expensive upstream lineage — complex
+    # joins, decode UDFs — exactly once, at the cost of writing + re-reading
+    # the full event payload).  Default False streams the upstream directly:
+    # the window's extra passes are column-pruned aggregations Catalyst
+    # pushes into the source, the right trade for file-backed or generated
+    # event logs (which is also what crash-resume determinism assumes).
+    stage_pending: bool = False
 
 
 @dataclass

@@ -125,30 +125,45 @@ class ChangeStreamReplayer:
         from pyspark.sql import Observation
 
         target = self.catalog.load_table(self.config.collection_name)
-        # Stage the HWM-filtered stream to parquet scratch ONCE: the upstream
-        # lineage (source decode / generation) is paid a single time, and
-        # every per-batch seq-range slice is then a column-pruned scan with
-        # row-group min/max skipping.  NOT `.persist()` — InMemoryRelation is
-        # a slow scan path for array-heavy event payloads.  The bounds ride
-        # the staging write via an Observation (no separate agg job).
         pending_plan = self.hwm.filter_events(self.spark, events)
         root = os.path.join(
             self.config.warehouse, "_tmp", f"replay-{uuid.uuid4().hex}"
         )
-        scratch = os.path.join(root, "pending")
-        o_bounds = Observation("replay-bounds")
-        pending_plan.observe(
-            o_bounds, F.min("seq").alias("lo"), F.max("seq").alias("hi")
-        ).write.mode("overwrite").option("compression", "uncompressed").parquet(scratch)
         try:
-            # eliminated observe node <=> statically empty input; real
-            # failures propagate (obsutil narrows the catch)
-            bounds = observed(o_bounds)
-            if bounds.get("lo") is None:
-                return []
-            pending = self.spark.read.schema(pending_plan.schema).parquet(scratch)
-            first_b = int(bounds["lo"]) // events_per_batch
-            last_b = int(bounds["hi"]) // events_per_batch
+            if self.config.options.stage_pending:
+                # Stage the HWM-filtered stream to parquet scratch ONCE: for
+                # an EXPENSIVE upstream lineage (multi-way joins, decode UDFs)
+                # this pays it a single time, and every later pass is a
+                # column-pruned scan with row-group min/max skipping.  NOT
+                # `.persist()` — InMemoryRelation is a slow scan path for
+                # array-heavy event payloads.  Bounds ride the staging write
+                # via an Observation (no separate agg job).
+                scratch = os.path.join(root, "pending")
+                o_bounds = Observation("replay-bounds")
+                pending_plan.observe(
+                    o_bounds, F.min("seq").alias("lo"), F.max("seq").alias("hi")
+                ).write.mode("overwrite").option(
+                    "compression", "uncompressed"
+                ).parquet(scratch)
+                # eliminated observe node <=> statically empty input; real
+                # failures propagate (obsutil narrows the catch)
+                bounds = observed(o_bounds)
+                if bounds.get("lo") is None:
+                    return []
+                pending = self.spark.read.schema(pending_plan.schema).parquet(scratch)
+            else:
+                # Direct mode (default): skip the full-width pending scratch
+                # — at 10^7-event windows it writes AND re-reads the entire
+                # token payload once each before any real work.  The extra
+                # passes the scratch used to serve become column-pruned
+                # re-scans of the upstream instead (lineage agg reads
+                # (seq, part); the replay-of-applied path reads 2 columns),
+                # which Catalyst prunes at the source — cheap for file-backed
+                # or generated events.  Correctness is unchanged: every pass
+                # is a deterministic function of (events, HWM), the same
+                # property crash-resume already requires.  Batch bounds come
+                # from the prestage lineage aggregation (no bounds job).
+                pending = pending_plan
             # prestage path: collapse + prepare EVERY batch's merge source in
             # one partitioned write and fold all per-batch stats jobs
             # (lineage collect, staging observation, touched-bucket
@@ -165,6 +180,11 @@ class ChangeStreamReplayer:
             pre_batches = self._prestage(
                 target, pending, events_per_batch, os.path.join(root, "staged")
             )
+            if not pre_batches:
+                return []
+            # lineage agg == exact per-batch event presence, so the batch
+            # range derived from it matches the old bounds observation
+            first_b, last_b = min(pre_batches), max(pre_batches)
             out: list[dict[str, Any]] = []
             for i, b in enumerate(range(first_b, last_b + 1)):
                 if max_batches is not None and i >= max_batches:

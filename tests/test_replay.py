@@ -477,3 +477,34 @@ def test_pipelined_vs_serial_commit_parity(spark, warehouse, tmp_path):
     initial = {r["doc_id"] for r in make_sequences(N_DOCS)}
     rep_p.rollback()
     assert {r["doc_id"] for r in rows_of(t_p.read(spark))} == initial
+
+
+def test_direct_vs_staged_pending_parity(spark, warehouse, tmp_path):
+    """Direct mode (no full-width pending scratch, the default) must match
+    the staged-scratch path exactly: end state, metrics lineage, changelog."""
+    import os
+
+    wh2 = os.path.join(str(tmp_path), "wh_staged")
+    cat_d, t_d, events, sim = setup_run(spark, warehouse)
+    cat_s = Catalog(wh2)
+    t_s = cat_s.create_table("seq", SEQUENCES_SCHEMA, num_buckets=8)
+    t_s.append(spark.createDataFrame(make_sequences(N_DOCS), SEQUENCES_SCHEMA))
+
+    rep_d = ChangeStreamReplayer(
+        spark, warehouse, "seq", "sp",
+        options=MigrationOptions(stage_pending=False),
+    )
+    rep_s = ChangeStreamReplayer(
+        spark, wh2, "seq", "sp",
+        options=MigrationOptions(stage_pending=True),
+    )
+    ev = changes_spark(spark, events)
+    md = rep_d.apply_changes(ev, events_per_batch=PER_BATCH)
+    ms = rep_s.apply_changes(ev, events_per_batch=PER_BATCH)
+
+    assert rows_of(t_d.read(spark)) == rows_of(t_s.read(spark))
+    keys = ("batch_id", "n_events", "n_parts", "part_hwm", "max_seq", "n_backups")
+    assert [{k: m[k] for k in keys} for m in md] == [{k: m[k] for k in keys} for m in ms]
+    cld = cat_d.load_table("_rollback_seq_sp").read(spark)
+    cls = cat_s.load_table("_rollback_seq_sp").read(spark)
+    assert rows_of(cld.drop("date")) == rows_of(cls.drop("date"))
