@@ -220,6 +220,19 @@ class MaterializedGroupedView:
         self.columns = columns if columns is not None else [group_col, *sum_cols]
         self.max_commits = max_commits_per_refresh
         self.state_buckets = state_buckets
+        # the fold algebra accumulates sums as LongType (grouped_delta /
+        # init_grouped_agg cast to long): a fractional measure would be
+        # silently truncated per-row and the state schema could not hold it
+        # — fail loudly at construction instead (VERDICT r5 #6)
+        integral = {"byte", "short", "integer", "long"}
+        for c in self.sum_cols:
+            dt = tbl.schema[c].dataType.typeName()
+            if dt not in integral:
+                raise TypeError(
+                    f"sum column {c!r} has type {dt}: the IVM state folds "
+                    "LongType sums; only integral measures are supported "
+                    "(cast upstream or extend the state schema)"
+                )
         os.makedirs(view_dir, exist_ok=True)
 
     def _state_root(self) -> str:

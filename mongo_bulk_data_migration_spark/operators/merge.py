@@ -169,11 +169,22 @@ def check_source_types(table: LakeTable, src: DataFrame) -> None:
         )
 
 
-# 'auto' falls back from broadcast to shuffle above this staged-source size.
-# Staged files are uncompressed parquet, so on-disk bytes track the broadcast
-# build size closely (within the encoding factor); 64 MB staged keeps the
-# expanded hash relation well under typical executor memory at any fan-in.
+# 'auto' stops broadcasting the full payload above this ESTIMATED in-memory
+# relation size.  The staged on-disk bytes are parquet-encoded (dictionary +
+# RLE even with codec=uncompressed): measured on the benchmark token arrays,
+# a 9.1 MB staged batch (55k rows x ~256-int arrays) expands to ~60 MB of
+# UnsafeRow hash relation — ~7-8x.  Round 5 broadcast a ~60 MB staged batch
+# (~0.5 GB relation) and paid an up-to-30 s GC-cliff batch for it; the
+# expansion factor below keeps 'auto' honest about what it is broadcasting.
 BROADCAST_MAX_STAGED_BYTES = 64 << 20
+BCAST_EXPANSION = int(os.environ.get("MBDM_BCAST_EXPANSION", "8"))
+
+# 'auto' prefers the key-broadcast 'semi' strategy over the whole-table
+# full-outer 'shuffle' while the batch's KEY SET is small enough to broadcast
+# (a hash relation of N string keys costs ~40-60 B/key, so 8M keys ~ 400 MB —
+# well under the 8 GB / 512M-row broadcast cap with headroom).  Past that the
+# plain full-outer join remains the only shape with no driver-side build.
+SEMI_MAX_KEYS = int(os.environ.get("MBDM_SEMI_MAX_KEYS", str(8_000_000)))
 
 
 def _dir_bytes(path: str) -> int:
@@ -199,6 +210,7 @@ def build_merge_plan(
     bypass_validation: bool = False,
     broadcast_threshold_bytes: int = BROADCAST_MAX_STAGED_BYTES,
     prestaged: dict | None = None,
+    materialize_combined: bool = True,
 ) -> MergePlan:
     """Build the merged rows + pre-images for one batch (single target scan).
 
@@ -206,6 +218,9 @@ def build_merge_plan(
     commits ``result`` via ``run_merge`` — the reference's backup-before-write
     WAL discipline (``/root/reference/src/MongoBulkDataMigration.ts:170-173``).
     """
+    import time as _time
+
+    _t0 = _time.monotonic()
     key = table.key_col
     data_cols = [f.name for f in table.schema.fields]
     update_set = set(update_cols if update_cols is not None else data_cols)
@@ -261,8 +276,15 @@ def build_merge_plan(
         # true scale-killer in this path — large batches take the full-outer
         # sort-merge join instead (AQE handles skewed partitions there).
         staged_bytes = _dir_bytes(os.path.join(scratch, "src"))
+        static_metrics["n_source_keys"] = int(src_stats.get("n_source_keys") or 0)
     if strategy == "auto":
-        strategy = "broadcast" if staged_bytes <= broadcast_threshold_bytes else "shuffle"
+        n_keys = int(static_metrics.get("n_source_keys") or 0)
+        if staged_bytes * BCAST_EXPANSION <= broadcast_threshold_bytes:
+            strategy = "broadcast"
+        elif n_keys and n_keys <= SEMI_MAX_KEYS:
+            strategy = "semi"
+        else:
+            strategy = "shuffle"
 
     if not touched:
         empty_pre = s.limit(0).select(
@@ -315,6 +337,20 @@ def build_merge_plan(
         # the per-batch working set proportional to the batch at 100 TB.
         joined = tgt.join(F.broadcast(s), F.col(key) == F.col(_SKEY), "inner")
         matched = F.lit(True)
+    elif strategy == "semi":
+        # Key-broadcast pre-filter (guide §3.2/§8: decide with small rows,
+        # move big rows once): the batch's KEY SET is broadcast (tiny even
+        # when the payload is far past any broadcast threshold), the target
+        # side is semi-filtered to the touched rows BEFORE any exchange, and
+        # the full-outer payload join then shuffles O(batch) bytes from each
+        # side instead of the whole touched-bucket scan.  Untouched rows
+        # flow scan -> anti(bcast keys) -> write, never through a shuffle.
+        skeys = s.select(_SKEY)
+        touched_tgt = tgt.join(
+            F.broadcast(skeys), F.col(key) == F.col(_SKEY), "left_semi"
+        )
+        joined = touched_tgt.join(s, F.col(key) == F.col(_SKEY), "full_outer")
+        matched = F.col(key).isNotNull() & F.col(_SKEY).isNotNull()
     elif strategy == "shuffle":
         joined = tgt.join(s, F.col(key) == F.col(_SKEY), "full_outer")
         matched = F.col(key).isNotNull() & F.col(_SKEY).isNotNull()
@@ -363,13 +399,29 @@ def build_merge_plan(
         ],
         *[F.col(f"__c_{c}").alias(f"__{c}") for c in carry_cols],
     )
-    combined_plan.write.mode("overwrite").option("compression", "uncompressed").parquet(
-        os.path.join(scratch, "combined")
-    )
-    combined_cached = spark.read.schema(combined_plan.schema).parquet(
-        os.path.join(scratch, "combined")
-    )
-    combined = combined_cached
+    static_metrics["plan_expr_ms"] = int((_time.monotonic() - _t0) * 1000)
+    if materialize_combined:
+        # Materialized mode: one serial join job, every consumer reads the
+        # scratch files.  Right when consumers run SERIALLY (the pre-r5
+        # engine path) or re-read the slice many times (metrics fallbacks).
+        _t1 = _time.monotonic()
+        combined_plan.write.mode("overwrite").option(
+            "compression", "uncompressed"
+        ).parquet(os.path.join(scratch, "combined"))
+        static_metrics["combined_write_ms"] = int((_time.monotonic() - _t1) * 1000)
+        combined = spark.read.schema(combined_plan.schema).parquet(
+            os.path.join(scratch, "combined")
+        )
+    else:
+        # Recompute mode (replay hot path, guide §1.2/§2.4): the changelog
+        # and merge-stage consumers run CONCURRENTLY (pipelined commit), so
+        # re-executing the join inside each consumer's job costs no extra
+        # wall while the serial "write combined + read it back" job — the
+        # bulk of the measured per-batch plan_s — disappears.  Each consumer
+        # column-prunes through this projection (changelog: __pre_*;
+        # merge: __new_*), so the token-transform expressions still run
+        # exactly once, in the merge job.
+        combined = combined_plan
 
     pre_cols = lambda frame: frame.select(  # noqa: E731
         F.col(key),
@@ -420,6 +472,47 @@ def build_merge_plan(
             src_row(inserts_src)
         )
         delta_dels = combined.where(op == "delete").select(key)
+    elif strategy == "semi":
+        # every combined row carries an op (the semi pre-filter removed the
+        # carryover rows the plain full-outer would drag through): matched
+        # rows, plus unmatched SOURCE rows (inserts).  One joined frame
+        # serves preimage, result, delta and metrics — no second broadcast
+        # build, no matched-key collect.
+        untouched = tgt.join(
+            F.broadcast(s.select(_SKEY)), F.col(key) == F.col(_SKEY), "left_anti"
+        ).withColumn(BUCKET_COL, bucket_expr(key, table.num_buckets))
+        keep = (F.col("__matched") & (op != "delete")) | (
+            ~F.col("__matched") & op.isin("put", "insert")
+        )
+        changed = (
+            new_rows(combined.where(keep))
+            .withColumn(BUCKET_COL, bucket_expr(key, table.num_buckets))
+            .repartition(BUCKET_COL)
+        )
+        result = untouched.unionByName(changed)
+        inserts_frame = combined.where(~F.col("__matched") & op.isin("put", "insert"))
+        # NB: matched 'insert' (insert-if-absent no-op) stays in `result`
+        # (COW rewrites its bucket) but must NOT emit a delta row — a
+        # same-value layer row would surface as a spurious change in the
+        # changefeed diff (cdc_ivm / stream_changefeed contract).
+        delta_live = new_rows(
+            combined.where(
+                (F.col("__matched") & op.isin("put", "update"))
+                | (~F.col("__matched") & op.isin("put", "insert"))
+            )
+        )
+        delta_dels = combined.where(F.col("__matched") & (op == "delete")).select(key)
+        preimage = pre_cols(combined).select(
+            key,
+            OP_COL,
+            "__matched",
+            *[
+                F.when(F.col("__matched"), F.col(f"__pre_{c}")).otherwise(F.lit(None)).alias(f"__pre_{c}")
+                for c in data_cols
+                if c != key
+            ],
+            *[F.col(f"__{c}") for c in carry_cols],
+        )
     else:
         inserts_frame = combined.where(~F.col("__matched") & op.isin("put", "insert"))
         keep = (
@@ -468,10 +561,10 @@ def build_merge_plan(
         delta=delta,
         observations=observations,
         source=s,
-        combined=combined_cached,
+        combined=combined,
         inserts_frame=inserts_frame,
         scratch_dir=scratch,
-        result_prepartitioned=(strategy == "broadcast"),
+        result_prepartitioned=(strategy in ("broadcast", "semi")),
         static_metrics=static_metrics,
     )
 

@@ -37,6 +37,11 @@ KIND_REINSERT = "reinsert"
 # deterministic logical clock: epoch + batch_id seconds (no wall-clock in data)
 _EPOCH = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
 
+# broadcast the per-key log flags when the pruned changelog file set measures
+# below this — the backup payloads dominate those files, so the projected
+# (key, kind, batch_id) build side is far smaller than this bound implies
+LOG_BROADCAST_BYTES = 256 << 20
+
 
 def changelog_schema(data_schema: T.StructType, key_col: str) -> T.StructType:
     backup_fields = [
@@ -125,7 +130,11 @@ class Changelog:
         guards for tombstone/reinsert markers), which is safe under replays
         regardless of what keys the re-run carries.
         """
+        import time as _time
+
+        _t0 = _time.monotonic()
         tbl = self.ensure()
+        self.last_timings = {"ensure_s": round(_time.monotonic() - _t0, 4)}
         key = self.target.key_col
         # the backup struct follows the CHANGELOG's schema (fixed at creation):
         # columns added to the target later are not in the pre-image and
@@ -166,7 +175,9 @@ class Changelog:
         # 10^10 events. Instead: ONE bucket-pruned log scan aggregated per
         # key, ONE left join, and each batch row emits its backup/tombstone/
         # reinsert records through a conditional-array explode.
-        log = self._existing_log(spark, base.select(F.col(key)), bucket_hint=bucket_hint)
+        log, log_bytes = self._existing_log(
+            spark, base.select(F.col(key)), bucket_hint=bucket_hint
+        )
         is_backup = F.col("kind") == KIND_BACKUP
         log_agg = log.groupBy(key).agg(
             # any backup row (any batch, incl. a replay of this one) => not fresh
@@ -192,6 +203,14 @@ class Changelog:
                 )
             ).alias("__has_reins"),
         )
+        # Measured-size broadcast (same principle as the merge planner's
+        # auto strategy / MOR_BROADCAST_BYTES): log_agg is a per-key flag
+        # frame whose source bytes are known from the changelog manifest.
+        # Broadcasting it keeps the WIDE pre-image rows of `base` map-side
+        # — otherwise the planner sort-merge-joins and shuffles every
+        # multi-KB backup payload just to attach four tiny flags.
+        if log_bytes <= LOG_BROADCAST_BYTES:
+            log_agg = F.broadcast(log_agg)
         j = base.join(log_agg, key, "left")
 
         backup_t = tbl.schema["backup"].dataType
@@ -262,16 +281,21 @@ class Changelog:
         n_obs = Observation(f"changelog-b{batch_id}")
         rows = rows.observe(n_obs, F.count(F.lit(1)).alias("n_rows"),
                             F.sum(F.when(F.col("kind") == KIND_BACKUP, 1).otherwise(0)).alias("n_backups"))
+        self.last_timings["build_s"] = round(_time.monotonic() - _t0, 4)
+        _t1 = _time.monotonic()
         tbl.append(
             rows,
             operation=f"backup-batch-{batch_id}",
             applied={self.migration_id: {"batch_id": batch_id}},
         )
+        self.last_timings["write_s"] = round(_time.monotonic() - _t1, 4)
+        _t2 = _time.monotonic()
         # bounded growth at 10^10 events (VERDICT r2 #10): a year-long
         # migration appends one file set per batch per touched bucket; fold
         # fat buckets so `_existing_log`'s scan is bounded by compaction
         # cadence, not migration age (manifest-only check when nothing is fat)
         self.compact(spark, max_files_per_bucket=16)
+        self.last_timings["compact_s"] = round(_time.monotonic() - _t2, 4)
         # eliminated-observe (replayed no-op append) reads as zero fresh
         # backups; any REAL failure propagates (obsutil narrows the catch)
         return int(observed(n_obs).get("n_backups") or 0)
@@ -327,9 +351,13 @@ class Changelog:
         spark: SparkSession,
         candidates: DataFrame,
         bucket_hint: list[int] | None = None,
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, int]:
         """(key, kind, batch_id) of this migration's existing changelog rows,
-        bucket-pruned to the buckets the candidate keys can live in."""
+        bucket-pruned to the buckets the candidate keys can live in — plus
+        the on-disk byte size of the pruned file set (the measured quantity
+        the caller's broadcast decision uses)."""
+        import os
+
         tbl = self.table()
         key = self.target.key_col
         if bucket_hint is not None and tbl.num_buckets == self.target.num_buckets:
@@ -345,9 +373,22 @@ class Changelog:
                 .distinct()
                 .collect()
             ]
+        snap = tbl.snapshot()
+        bset = set(cand_buckets)
+        bytes_ = 0
+        for f in snap.files:
+            if f["bucket"] in bset:
+                try:
+                    bytes_ += os.path.getsize(os.path.join(tbl.root, f["path"]))
+                except OSError:
+                    bytes_ = LOG_BROADCAST_BYTES + 1  # unknown => no broadcast
+                    break
         existing = tbl.read(spark, buckets=cand_buckets)
-        return existing.where(F.col("migration_id") == self.migration_id).select(
-            key, "kind", "batch_id"
+        return (
+            existing.where(F.col("migration_id") == self.migration_id).select(
+                key, "kind", "batch_id"
+            ),
+            bytes_,
         )
 
     # ------------------------------------------------------------------

@@ -67,6 +67,12 @@ class MigrationOptions:
     # pushes into the source, the right trade for file-backed or generated
     # event logs (which is also what crash-resume determinism assumes).
     stage_pending: bool = False
+    # P1/P2 for the CDC replayer (VERDICT r5 #2): restrict the changelog
+    # pre-image to these columns ("what is projected is what is restorable",
+    # reference README.md:18).  None (default) backs up the full row; a
+    # subset cuts the changelog write — the dominant per-batch phase — at
+    # the documented cost that rollback restores only these columns.
+    cdc_backup_cols: list[str] | None = None
 
 
 @dataclass

@@ -676,8 +676,16 @@ class LakeTable:
         return len(fat)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
-        """GC manifests + unreferenced data files (keep current lineage tail)."""
-        keep_versions = set(self.history()[-keep_last:])
+        """GC manifests + unreferenced data files (keep current lineage tail).
+
+        Files under ``data/snap-<v>`` for a version NEWER than the last
+        committed snapshot are skipped: they belong to an in-flight staged
+        commit (``stage_overwrite_buckets`` claims its version at stage
+        time) and deleting them would corrupt the staging writer's commit
+        (ADVICE r5 — GC must never race a concurrent stage)."""
+        history = self.history()
+        max_committed = history[-1]
+        keep_versions = set(history[-keep_last:])
         keep_versions.add(self.current_version())
         referenced: set[str] = set()
         for v in keep_versions:
@@ -685,6 +693,13 @@ class LakeTable:
         removed = 0
         data_root = os.path.join(self.root, DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(data_root):
+            snap_dir = os.path.basename(dirpath.split(f"{os.sep}{BUCKET_COL}=")[0])
+            if snap_dir.startswith("snap-"):
+                try:
+                    if int(snap_dir[5:]) > max_committed:
+                        continue  # staged-but-uncommitted version: not ours to GC
+                except ValueError:
+                    pass
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)

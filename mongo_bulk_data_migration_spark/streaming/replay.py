@@ -182,6 +182,11 @@ class ChangeStreamReplayer:
             )
             if not pre_batches:
                 return []
+            # invariant plan inputs hoisted out of the batch loop (the
+            # schema is fixed for the window once evolution ran above):
+            # Column expression trees are immutable and reusable, so the
+            # py4j construction cost is paid once per window, not per batch
+            plan_exprs = (self._update_cols(target), self._value_exprs(target))
             # lineage agg == exact per-batch event presence, so the batch
             # range derived from it matches the old bounds observation
             first_b, last_b = min(pre_batches), max(pre_batches)
@@ -195,6 +200,7 @@ class ChangeStreamReplayer:
                     continue  # empty seq range (gap below the HWM)
                 m = self._apply_batch(
                     target, batch, b, crash_after, pre=pre_batches[b],
+                    plan_exprs=plan_exprs,
                 )
                 if m is not None:
                     out.append(m)
@@ -276,24 +282,48 @@ class ChangeStreamReplayer:
         batch_schema = T.StructType(
             [f for f in prepped.schema.fields if f.name != "__batch"]
         )
-        sc.setJobDescription("cdc prestage: per-batch stats")
+        # the two whole-window stat aggregations are independent jobs over
+        # different inputs (staged files vs the raw pending stream): submit
+        # them from two driver threads so the second back-fills the first's
+        # task tail instead of waiting for it (guide §2.6)
         staged_all = self.spark.read.schema(prepped.schema).parquet(out_dir)
-        srows = staged_all.groupBy("__batch").agg(
+        srows_q = staged_all.groupBy("__batch").agg(
             F.count(F.lit(1)).alias("n_source_keys"),
             F.sum(
                 F.when(F.col(OP_COL).isin("put", "insert"), 1).otherwise(0)
             ).alias("n_src_upserts"),
             F.collect_set(F.col(BUCKET_COL)).alias("touched"),
-        ).collect()
-        sc.setJobDescription("cdc prestage: per-batch lineage")
+        )
         lineage_aggs = [F.count(F.lit(1)).alias("n"), F.max("seq").alias("max_seq")]
         if valid is not None:
             lineage_aggs.append(
                 F.sum(F.when(valid, 0).otherwise(1)).alias("n_dead")
             )
-        lrows = pending.groupBy(
+        lrows_q = pending.groupBy(
             batch_expr.alias("__batch"), F.col("part")
-        ).agg(*lineage_aggs).collect()
+        ).agg(*lineage_aggs)
+
+        from pyspark import InheritableThread
+
+        box: dict[str, Any] = {}
+
+        def _collect_stats() -> None:
+            try:
+                sc.setJobDescription("cdc prestage: per-batch stats")
+                box["srows"] = srows_q.collect()
+            except BaseException as e:
+                box["error"] = e
+
+        th_stats = InheritableThread(target=_collect_stats, daemon=True)
+        th_stats.start()
+        try:
+            sc.setJobDescription("cdc prestage: per-batch lineage")
+            lrows = lrows_q.collect()
+        finally:
+            th_stats.join()
+        if "error" in box:
+            raise box["error"]
+        srows = box["srows"]
         if valid is not None and any(int(r["n_dead"]) for r in lrows):
             # one partitioned write for the whole window; dynamic partition
             # overwrite keeps dead-letter batches from earlier windows, and
@@ -380,6 +410,7 @@ class ChangeStreamReplayer:
         batch_id: int,
         crash_after: tuple[int, str] | None = None,
         pre: dict[str, Any] | None = None,
+        plan_exprs: tuple | None = None,
     ) -> dict[str, Any] | None:
         t0 = time.monotonic()
         cfg = self.config
@@ -420,7 +451,7 @@ class ChangeStreamReplayer:
 
         n_backups = 0
         merge_metrics: dict[str, Any] = {}
-        t_plan = t_changelog = t_merge = 0.0
+        t_plan = t_changelog = t_merge = t_append = 0.0
         sc = self.spark.sparkContext
         # prestaged path (the only path since round 4): evolution hoisted to
         # the window start, source already collapsed/prepared, stats (incl.
@@ -460,17 +491,22 @@ class ChangeStreamReplayer:
         src = None
         t1 = time.monotonic()
         sc.setJobDescription(f"cdc b{batch_id}: plan+stage")
+        if plan_exprs is None:
+            plan_exprs = (self._update_cols(target), self._value_exprs(target))
         plan = build_merge_plan(
             target,
             self.spark,
             src,
-            update_cols=self._update_cols(target),
+            update_cols=plan_exprs[0],
             strategy=cfg.options.merge_strategy,
             broadcast_threshold_bytes=cfg.options.broadcast_threshold_bytes,
             carry_cols=["seq", "transform", "part"],
-            value_exprs=self._value_exprs(target),
+            value_exprs=plan_exprs[1],
             bypass_validation=cfg.options.bypass_validation,
             prestaged=pre,
+            # pipelined commit runs the changelog + merge consumers
+            # concurrently: recompute beats the serial materialize job
+            materialize_combined=False,
         )
         t_plan = time.monotonic() - t1
         max_seq = max(part_hwm.values())
@@ -498,11 +534,14 @@ class ChangeStreamReplayer:
             pend_box: dict[str, Any] = {}
 
             def _stage_files() -> None:
+                _ts = time.monotonic()
                 try:
                     sc.setJobDescription(f"cdc b{batch_id}: merge-write")
                     pend_box["pending"] = stage_merge(target, plan, operation=op_name)
                 except BaseException as e:  # surfaced after join
                     pend_box["error"] = e
+                finally:
+                    pend_box["stage_s"] = round(time.monotonic() - _ts, 4)
 
             th = None
             if cfg.options.pipeline_commit:
@@ -512,14 +551,26 @@ class ChangeStreamReplayer:
                 th.start()
             try:
                 sc.setJobDescription(f"cdc b{batch_id}: changelog")
+                _ta = time.monotonic()
                 n_backups = cl.append_batch(
                     self.spark,
                     plan.preimage,
                     batch_id,
                     update_query=f'{{"cdc_batch": {batch_id}}}',
-                    backup_cols=None,  # full pre-image for CDC
+                    # full pre-image by default; a deployment may scope the
+                    # backup to a column subset (P1/P2 through the replayer)
+                    backup_cols=cfg.options.cdc_backup_cols,
                     bucket_hint=plan.touched,
                 )
+                t_append = time.monotonic() - _ta
+            except BaseException as append_exc:
+                if th is not None:
+                    th.join()
+                # surface BOTH failures (ADVICE r5): the append error wins,
+                # the concurrent stage error rides as __cause__
+                if pend_box.get("error") is not None:
+                    raise append_exc from pend_box["error"]
+                raise
             finally:
                 if th is not None:
                     th.join()
@@ -568,6 +619,9 @@ class ChangeStreamReplayer:
             "lineage_s": round(t_lineage, 4),
             "plan_s": round(t_plan, 4),
             "changelog_s": round(t_changelog, 4),
+            "append_s": round(t_append, 4),
+            "append_detail": getattr(cl, "last_timings", None),
+            "stage_s": pend_box.get("stage_s"),
             "merge_s": round(t_merge, 4),
             "events_per_sec": round(n_events / wall, 1) if wall > 0 else None,
             **merge_metrics,

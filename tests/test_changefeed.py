@@ -305,3 +305,26 @@ def test_ivm_keyed_fold_writes_o_changed_groups(spark, warehouse, tmp_path):
     want = sorted((r["doc_id"], r["n_rows"], r["sum_n_tok"])
                   for r in expected.collect())
     assert got == want
+
+
+def test_materialized_view_rejects_fractional_measure(spark, warehouse, tmp_path):
+    """VERDICT r5 #6: the IVM state folds LongType sums; a fractional measure
+    column must fail loudly at construction, not truncate silently."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from mongo_bulk_data_migration_spark.operators.ivm import MaterializedGroupedView
+
+    cat = Catalog(warehouse)
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ])
+    t = cat.create_table("scored", schema, num_buckets=2)
+    with _pytest.raises(TypeError, match="score.*double"):
+        MaterializedGroupedView(spark, t, str(tmp_path / "mv"), "source", ["score"])
+    # integral measures still construct fine
+    schema2 = T.StructType(list(schema.fields) + [T.StructField("n", T.IntegerType(), True)])
+    t2 = cat.create_table("scored2", schema2, num_buckets=2)
+    MaterializedGroupedView(spark, t2, str(tmp_path / "mv2"), "source", ["n"])

@@ -32,7 +32,7 @@ def src_df(spark, rows):
     return spark.createDataFrame(rows, schema)
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("strategy", ["broadcast", "semi", "shuffle"])
 def test_merge_op_matrix(spark, warehouse, strategy):
     t = make_table(spark, warehouse + strategy)
     before = {r["doc_id"]: r for r in rows_of(t.read(spark))}
@@ -91,7 +91,7 @@ def test_merge_op_matrix(spark, warehouse, strategy):
     assert pre_by_key["doc99999001"]["__pre_tokens"] is None
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("strategy", ["broadcast", "semi", "shuffle"])
 def test_merge_value_exprs_compute_from_target(spark, warehouse, strategy):
     """Transforms evaluated inside the join: new value = f(target row, event)."""
     t = make_table(spark, warehouse + strategy, n=20)
@@ -145,9 +145,30 @@ def test_merge_auto_strategy_by_staged_size(spark, warehouse):
     plan2 = build_merge_plan(
         t, spark, src_df(spark, rows), strategy="auto", broadcast_threshold_bytes=1
     )
-    assert plan2.strategy == "shuffle"
+    # past the payload-broadcast bound, the key set (2 keys) is still tiny:
+    # auto picks the key-broadcast semi strategy
+    assert plan2.strategy == "semi"
     run_merge(t, plan2)
     plan2.release()
+    after = {r["doc_id"]: r for r in rows_of(t.read(spark))}
+    assert after["doc00000001"]["tokens"] == [9, 9]
+    assert after["doc99999001"]["tokens"] == [1]
+
+
+def test_merge_auto_shuffle_fallback_past_key_cap(spark, warehouse, monkeypatch):
+    """When even the key set is too large to broadcast, 'auto' falls back to
+    the plain full-outer shuffle join (no driver-side build at all)."""
+    import mongo_bulk_data_migration_spark.operators.merge as M
+
+    t = make_table(spark, warehouse, n=30)
+    rows = [("doc00000001", "put", [9, 9], 2, "x"), ("doc99999001", "put", [1], 1, "y")]
+    monkeypatch.setattr(M, "SEMI_MAX_KEYS", 1)
+    plan = build_merge_plan(
+        t, spark, src_df(spark, rows), strategy="auto", broadcast_threshold_bytes=1
+    )
+    assert plan.strategy == "shuffle"
+    run_merge(t, plan)
+    plan.release()
     after = {r["doc_id"]: r for r in rows_of(t.read(spark))}
     assert after["doc00000001"]["tokens"] == [9, 9]
     assert after["doc99999001"]["tokens"] == [1]
