@@ -633,6 +633,7 @@ def commit_merge(
     applied: dict | None = None,
     properties: dict | None = None,
     operation: str = "merge",
+    async_compact_box: dict | None = None,
 ) -> int:
     """Atomically publish a staged merge (manifest flip + markers)."""
     if pending is None:
@@ -645,8 +646,45 @@ def commit_merge(
     # own commit AFTER the batch's atomic marker commit, so crash
     # semantics are untouched — a lost compaction is re-triggered by the
     # next batch, and the changefeed diffs a pure compaction to zero.
+    #
+    # With ``async_compact_box`` (VERDICT r5 #5) the fold runs on a driver
+    # thread OVERLAPPED with the caller's next batch instead of serially
+    # inside the loop: the compaction commit commutes with the next batch's
+    # delta append (preserve_concurrent_adds rebase), and a lost
+    # non-commuting race just leaves the fold for the next trigger.
     if getattr(pending, "merge_mode", None) == "mor":
         k = int(table.snapshot().properties.get("auto_compact_layers", 8) or 0)
         if k and table.delta_layers() > k:
-            table.compact(plan.delta.sparkSession)
+            if async_compact_box is None:
+                table.compact(plan.delta.sparkSession)
+            else:
+                from pyspark import InheritableThread
+
+                from ..sources.laketable import CommitConflictError
+
+                spark = plan.delta.sparkSession
+
+                def _compact() -> None:
+                    try:
+                        spark.sparkContext.setJobDescription("mor auto-compact (async)")
+                        table.compact(spark)
+                    except CommitConflictError as e:
+                        # lost a non-commuting race: the layer count still
+                        # exceeds the cadence, so the next commit re-triggers
+                        import logging
+
+                        logging.getLogger("mbdm-spark").info(
+                            "async compaction yielded to a concurrent commit: %s", e
+                        )
+                    except BaseException as e:  # surfaced at the next join
+                        async_compact_box["error"] = e
+
+                prev = async_compact_box.get("thread")
+                if prev is not None:
+                    prev.join()  # never two folds in flight
+                if "error" in async_compact_box:
+                    raise async_compact_box.pop("error")
+                th = InheritableThread(target=_compact, daemon=True)
+                th.start()
+                async_compact_box["thread"] = th
     return ver

@@ -394,19 +394,32 @@ class LakeTable:
     # ---------------- writes ----------------
 
     def _write_data_files(
-        self, df: DataFrame, version: int, schema: T.StructType, repartition: bool = True
+        self,
+        df: DataFrame,
+        version: int,
+        schema: T.StructType,
+        repartition: bool = True,
+        nonce: str | None = None,
     ) -> list[dict[str, Any]]:
-        """Write df partitioned by bucket under data/snap-<version>/.
+        """Write df partitioned by bucket under data/snap-<version>[-nonce]/.
 
         Returns manifest entries. The bucket id is re-derivable from the key
         (pmod(xxhash64(key), N)) so it is carried in the directory name only.
+
+        ``nonce`` makes the staging directory unique PER ATTEMPT (ADVICE r5:
+        two concurrent stagers of the same claimed version must never share
+        a mode=overwrite directory — the version race at commit decides the
+        winner, but file IO must not clobber).  Manifests reference files by
+        path, so a commit rebased to a different version keeps its files in
+        the originally-staged directory.
 
         ``repartition=False`` skips the shuffle for frames that are already
         bucket-aligned (e.g. merge survivors inheriting the scan's
         file-per-bucket partitioning) — each task then writes one file per
         bucket it holds.
         """
-        snap_rel = os.path.join(DATA_DIR, f"snap-{version:012d}")
+        dirname = f"snap-{version:012d}" + (f"-{nonce}" if nonce else "")
+        snap_rel = os.path.join(DATA_DIR, dirname)
         out = os.path.join(self.root, snap_rel)
         cols = [f.name for f in schema.fields]
         key = self.key_col
@@ -444,15 +457,20 @@ class LakeTable:
         properties: dict[str, Any] | None = None,
         repartition: bool = True,
     ) -> int:
-        """Append rows as new files; existing files untouched (one commit)."""
+        """Append rows as new files; existing files untouched (one commit).
+
+        Appends commute with any concurrent commit that does not add delta
+        layers to the same buckets, so a lost version race rebases onto the
+        winner and retries (bounded) instead of failing.
+        """
         snap = self._next_snapshot(operation)
-        snap.files.extend(self._write_data_files(df, snap.version, snap.schema, repartition))
-        if applied:
-            snap.applied.update(applied)
-        if properties:
-            snap.properties.update(properties)
-        self._write_snapshot(snap)
-        return snap.version
+        entries = self._write_data_files(
+            df, snap.version, snap.schema, repartition, nonce=uuid.uuid4().hex[:8]
+        )
+        snap.files.extend(entries)
+        return PendingCommit(
+            self, snap, added_entries=entries, operation=operation
+        ).commit(applied=applied, properties=properties)
 
     def overwrite_buckets(
         self,
@@ -499,12 +517,17 @@ class LakeTable:
         bset = set(buckets)
         snap = self._next_snapshot(operation)
         snap.files = [f for f in snap.files if f["bucket"] not in bset]
-        new_entries = self._write_data_files(df, snap.version, snap.schema, repartition)
+        new_entries = self._write_data_files(
+            df, snap.version, snap.schema, repartition, nonce=uuid.uuid4().hex[:8]
+        )
         stray = [e for e in new_entries if e["bucket"] not in bset]
         if stray:
             raise ValueError(f"write produced rows outside touched buckets: {stray[:3]}")
         snap.files.extend(new_entries)
-        return PendingCommit(self, snap)
+        return PendingCommit(
+            self, snap, added_entries=new_entries, replaced_buckets=bset,
+            operation=operation,
+        )
 
     def append_deltas(
         self,
@@ -548,7 +571,9 @@ class LakeTable:
             + [T.StructField(DELETED_COL, T.BooleanType(), True),
                T.StructField(DSEQ_COL, T.LongType(), True)]
         )
-        entries = self._write_data_files(df, snap.version, delta_schema, repartition)
+        entries = self._write_data_files(
+            df, snap.version, delta_schema, repartition, nonce=uuid.uuid4().hex[:8]
+        )
         stray = [e for e in entries if e["bucket"] not in bset]
         if stray:
             raise ValueError(f"delta write produced rows outside touched buckets: {stray[:3]}")
@@ -556,7 +581,9 @@ class LakeTable:
             e["kind"] = "delta"
             e["dseq"] = dseq
         snap.files.extend(entries)
-        return PendingCommit(self, snap)
+        return PendingCommit(
+            self, snap, added_entries=entries, operation=operation
+        )
 
     def delta_layers(self, bucket: int | None = None) -> int:
         """Number of distinct delta layers (optionally for one bucket)."""
@@ -569,13 +596,14 @@ class LakeTable:
     def commit_marker(
         self, applied: dict[str, Any], operation: str = "marker", properties: dict[str, Any] | None = None
     ) -> int:
-        """Metadata-only commit (e.g. record a batch as applied with no data)."""
+        """Metadata-only commit (e.g. record a batch as applied with no data).
+
+        Marker-only commits always commute: a lost version race rebases onto
+        the winner's snapshot and retries (bounded)."""
         snap = self._next_snapshot(operation)
-        snap.applied.update(applied)
-        if properties:
-            snap.properties.update(properties)
-        self._write_snapshot(snap)
-        return snap.version
+        return PendingCommit(
+            self, snap, added_entries=[], operation=operation
+        ).commit(applied=applied, properties=properties)
 
     # ---------------- DDL ----------------
 
@@ -671,8 +699,13 @@ class LakeTable:
         )
         if not fat:
             return 0
-        rows = self.read(spark, buckets=fat)  # delta-resolved
-        self.overwrite_buckets(rows, fat, operation="compact")
+        rows = self.read(spark, buckets=fat)  # delta-resolved at THIS snapshot
+        pending = self.stage_overwrite_buckets(rows, fat, operation="compact")
+        # a compaction's replacement content is the fold of exactly the
+        # files it read: commits that ADD files (e.g. the next batch's delta
+        # layer) on top are kept on rebase — see PendingCommit
+        pending.preserve_concurrent_adds = True
+        pending.commit()
         return len(fat)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -696,7 +729,8 @@ class LakeTable:
             snap_dir = os.path.basename(dirpath.split(f"{os.sep}{BUCKET_COL}=")[0])
             if snap_dir.startswith("snap-"):
                 try:
-                    if int(snap_dir[5:]) > max_committed:
+                    # dir is snap-<v> or snap-<v>-<nonce>
+                    if int(snap_dir[5:].split("-")[0]) > max_committed:
                         continue  # staged-but-uncommitted version: not ours to GC
                 except ValueError:
                     pass
@@ -716,19 +750,55 @@ class LakeTable:
         return removed
 
 
+MAX_COMMIT_RETRIES = int(os.environ.get("MBDM_COMMIT_RETRIES", "5"))
+
+
 class PendingCommit:
     """Staged data files awaiting their atomic manifest commit.
 
-    Produced by ``LakeTable.stage_overwrite_buckets`` / ``stage_append_deltas``.
-    Holds the fully-built next ``Snapshot`` (files already written and listed);
-    :meth:`commit` is driver-side metadata only — it stamps ``applied`` markers
-    and properties, then runs the create-if-absent version race + CURRENT flip.
-    Nothing staged is visible to any reader until then.
+    Produced by ``LakeTable.stage_overwrite_buckets`` / ``stage_append_deltas``
+    (and used internally by ``append`` / ``commit_marker``).  Holds the
+    fully-built next ``Snapshot`` (files already written and listed);
+    :meth:`commit` is driver-side metadata only — it stamps ``applied``
+    markers and properties, then runs the create-if-absent version race +
+    CURRENT flip.  Nothing staged is visible to any reader until then.
+
+    Optimistic retry (VERDICT r5 #4): when the version race is lost to a
+    COMMUTING concurrent commit, the loser re-bases its manifest onto the
+    winner's snapshot and retries (bounded by ``MAX_COMMIT_RETRIES``) —
+    the Iceberg-style answer for an engine whose replayer, IVM follower
+    folds and auto-compaction are separate commit streams.  Commuting:
+
+    - marker-only / plain-append commits always rebase (staged files are in
+      per-attempt unique directories, so paths never collide);
+    - bucket-overwrite commits rebase iff the winner(s) touched NO file in
+      the replaced buckets;
+    - delta-layer appends rebase iff the winner(s) added NO delta file in
+      the same buckets (the staged files embed the layer sequence number).
+
+    A non-commuting race still raises ``CommitConflictError`` loudly.
     """
 
-    def __init__(self, table: LakeTable, snap: Snapshot):
+    def __init__(
+        self,
+        table: LakeTable,
+        snap: Snapshot,
+        added_entries: list[dict[str, Any]] | None = None,
+        replaced_buckets: set[int] | None = None,
+        operation: str | None = None,
+    ):
         self.table = table
         self.snap = snap
+        self.parent_version = snap.parent
+        self.added_entries = added_entries
+        self.replaced_buckets = set(replaced_buckets) if replaced_buckets is not None else None
+        self.operation = operation or snap.operation
+        # Compaction-style overwrites set this True: the replacement content
+        # equals the FOLD of the files read at parent, so files a concurrent
+        # winner ADDED to the replaced buckets stay valid on top of the fold
+        # (delta layers still win over base rows) — keep them on rebase and
+        # conflict only when the winner REMOVED files this commit folded.
+        self.preserve_concurrent_adds = False
 
     @property
     def version(self) -> int:
@@ -743,5 +813,85 @@ class PendingCommit:
             self.snap.applied.update(applied)
         if properties:
             self.snap.properties.update(properties)
-        self.table._write_snapshot(self.snap)
-        return self.snap.version
+        try:
+            self.table._write_snapshot(self.snap)
+            return self.snap.version
+        except CommitConflictError:
+            if self.added_entries is None:
+                raise  # legacy caller: no rebase information
+        for _ in range(MAX_COMMIT_RETRIES):
+            snap = self._rebase(applied, properties)  # raises if non-commuting
+            try:
+                self.table._write_snapshot(snap)
+                self.snap = snap
+                return snap.version
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"commit of {self.operation!r} lost {MAX_COMMIT_RETRIES} version "
+            "races in a row; giving up"
+        )
+
+    def _rebase(self, applied: dict[str, Any] | None, properties: dict[str, Any] | None) -> Snapshot:
+        """Build this commit's snapshot against the CURRENT table state,
+        raising ``CommitConflictError`` when the interleaved commits do not
+        commute with this one."""
+        t = self.table
+        parent = t.snapshot(self.parent_version)
+        cur = t.snapshot()
+        p_paths = {f["path"] for f in parent.files}
+        c_paths = {f["path"] for f in cur.files}
+        removed_since = [f for f in parent.files if f["path"] not in c_paths]
+        added_since = [f for f in cur.files if f["path"] not in p_paths]
+        if self.replaced_buckets is not None:
+            conflicting = (
+                removed_since
+                if self.preserve_concurrent_adds
+                else removed_since + added_since
+            )
+            bad = {f["bucket"] for f in conflicting} & self.replaced_buckets
+            if bad:
+                raise CommitConflictError(
+                    f"non-commuting concurrent commits: {self.operation!r} "
+                    f"replaces buckets also touched since v{self.parent_version} "
+                    f"(buckets {sorted(bad)[:5]})"
+                )
+        else:
+            my_delta_buckets = {
+                e["bucket"] for e in self.added_entries if e.get("kind") == "delta"
+            }
+            bad = {
+                f["bucket"] for f in added_since if f.get("kind") == "delta"
+            } & my_delta_buckets
+            if bad:
+                raise CommitConflictError(
+                    f"non-commuting concurrent commits: {self.operation!r} "
+                    f"appends delta layers to buckets that gained layers since "
+                    f"v{self.parent_version} (buckets {sorted(bad)[:5]})"
+                )
+        snap = t._next_snapshot(self.operation)
+        if self.replaced_buckets is not None:
+            keep_paths = (
+                {f["path"] for f in added_since} if self.preserve_concurrent_adds else set()
+            )
+            snap.files = [
+                f for f in snap.files
+                if f["bucket"] not in self.replaced_buckets or f["path"] in keep_paths
+            ]
+        snap.files.extend(self.added_entries)
+        # re-apply this commit's own metadata on the new base: anything this
+        # commit changed relative to ITS read state (incl. pre-commit stamps
+        # merged before the first attempt) wins over inherited values
+        for k, v in self.snap.applied.items():
+            if parent.applied.get(k) != v:
+                snap.applied[k] = v
+        for k, v in self.snap.properties.items():
+            if parent.properties.get(k) != v:
+                snap.properties[k] = v
+        if applied:
+            snap.applied.update(applied)
+        if properties:
+            snap.properties.update(properties)
+        # NB: parent_version stays the ORIGINAL read state — the commute
+        # check must always span every commit interleaved since then
+        return snap

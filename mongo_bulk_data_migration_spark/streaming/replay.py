@@ -187,6 +187,9 @@ class ChangeStreamReplayer:
             # Column expression trees are immutable and reusable, so the
             # py4j construction cost is paid once per window, not per batch
             plan_exprs = (self._update_cols(target), self._value_exprs(target))
+            # MoR auto-compaction runs on a driver thread overlapped with
+            # the NEXT batch (VERDICT r5 #5); joined before window exit
+            compact_box: dict[str, Any] = {}
             # lineage agg == exact per-batch event presence, so the batch
             # range derived from it matches the old bounds observation
             first_b, last_b = min(pre_batches), max(pre_batches)
@@ -200,12 +203,17 @@ class ChangeStreamReplayer:
                     continue  # empty seq range (gap below the HWM)
                 m = self._apply_batch(
                     target, batch, b, crash_after, pre=pre_batches[b],
-                    plan_exprs=plan_exprs,
+                    plan_exprs=plan_exprs, compact_box=compact_box,
                 )
                 if m is not None:
                     out.append(m)
                 if self.config.options.throttle_ms:
                     time.sleep(self.config.options.throttle_ms / 1000.0)
+            th = compact_box.get("thread")
+            if th is not None:
+                th.join()  # no dangling fold past the window
+            if "error" in compact_box:
+                raise compact_box["error"]
             return out
         finally:
             shutil.rmtree(root, ignore_errors=True)
@@ -411,6 +419,7 @@ class ChangeStreamReplayer:
         crash_after: tuple[int, str] | None = None,
         pre: dict[str, Any] | None = None,
         plan_exprs: tuple | None = None,
+        compact_box: dict[str, Any] | None = None,
     ) -> dict[str, Any] | None:
         t0 = time.monotonic()
         cfg = self.config
@@ -591,6 +600,7 @@ class ChangeStreamReplayer:
                 applied={cfg.id: {"batch_id": batch_id, "max_seq": max_seq}},
                 properties={"writer": cfg.id},
                 operation=op_name,
+                async_compact_box=compact_box,
             )
             t_merge = time.monotonic() - t3
             merge_metrics = plan.metrics()
