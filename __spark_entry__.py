@@ -26,8 +26,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+# metadata-only cache: parquet FOOTER schemas per (dir, table).  Each bare
+# spark.read.parquet() pays a driver-side footer read + schema inference per
+# call; the schema is immutable for a given fixture dir, so later reads pass
+# it explicitly.  (No data or results are cached — scans still hit parquet.)
+_SCHEMA_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = sch
+    return spark.read.schema(sch).parquet(path)
 
 
 def _utc(spark: SparkSession) -> None:

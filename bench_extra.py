@@ -65,9 +65,16 @@ def cdc(args) -> None:
     import bench as B
 
     spark = _spark()
+    if args.shj is not None:
+        spark.conf.set(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", args.shj
+        )
     n_docs = args.docs
     n_events = args.docs * args.events_per_doc
+    per_core = B._host_probe(1, 8_000_000) if args.gate else None
     for r in range(args.repeat):
+        if args.gate:
+            B.wait_for_window(per_core, f"bx-{r}", [])
         probe0 = B._host_probe(8, 1_000_000)
         wh = tempfile.mkdtemp(prefix="mbdm_bx_")
         try:
@@ -211,6 +218,10 @@ def main() -> None:
     c.add_argument("--buckets", type=int, default=32)
     c.add_argument("--strategy", default="auto")
     c.add_argument("--no-pipeline", action="store_true")
+    c.add_argument("--shj", default=None,
+                   help="override AQE maxShuffledHashJoinLocalMapThreshold")
+    c.add_argument("--gate", action="store_true",
+                   help="wait for a clean host window before each repeat")
     c.add_argument("--repeat", type=int, default=1)
     c.set_defaults(fn=cdc)
     p = sub.add_parser("cdcplans")

@@ -357,7 +357,9 @@ def build_merge_plan(
     else:
         raise ValueError(f"unknown merge strategy: {strategy}")
 
-    if with_observation:
+    if with_observation and materialize_combined:
+        # materialized mode: the combined WRITE is the first action and
+        # always executes the full join — attach the metrics there
         o = Observation("merge-matched")
         observations["matched"] = o
         joined = joined.observe(
@@ -538,6 +540,26 @@ def build_merge_plan(
                 if c != key
             ],
             *[F.col(f"__{c}") for c in carry_cols],
+        )
+
+    if with_observation and not materialize_combined:
+        # recompute mode: an Observation is delivered by the FIRST query that
+        # executes its node, and AQE's empty-relation propagation can
+        # ELIMINATE the node from a consumer whose slice is adaptively empty
+        # (e.g. the merge job of a pure-delete batch), poisoning the metrics
+        # with an empty row.  The preimage covers every source-op row and the
+        # changelog append always executes it in full, so attach there.
+        o = Observation("merge-matched")
+        observations["matched"] = o
+        pm = F.col("__matched")
+        pop = F.col(OP_COL)
+        preimage = preimage.observe(
+            o,
+            _cnt(pm & pop.isNotNull()).alias("n_matched"),
+            _cnt(pm & pop.isin("put", "update")).alias("n_modified"),
+            _cnt(pm & (pop == "delete")).alias("n_removed"),
+            _cnt(pm & (pop == "insert")).alias("n_insert_skipped"),
+            _cnt(pm & (pop == "put")).alias("n_put_matched"),
         )
 
     # merge-on-read layer: changed/inserted rows live, matched deletes as

@@ -158,6 +158,11 @@ class MongoBulkDataMigrationSpark:
                 strategy=cfg.options.merge_strategy,
                 broadcast_threshold_bytes=cfg.options.broadcast_threshold_bytes,
                 bypass_validation=cfg.options.bypass_validation,
+                # with the pipelined commit the changelog + merge consumers
+                # run concurrently: recompute the join inside each consumer
+                # instead of paying the serial materialization job (the
+                # metrics fallback stays job-free via the derived counters)
+                materialize_combined=not cfg.options.pipeline_commit,
             )
             try:
                 start_ver = target.current_version()

@@ -33,6 +33,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite sort-merge joins to shuffled-hash when the MEASURED
+        # per-partition build side fits (guide §3.1): the replay's batch-
+        # bounded full-outer joins then skip both sorts; 256 MB per partition
+        # is conservative against executor memory at any scale because AQE
+        # first coalesces partitions toward the advisory size
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # measured in this environment: native codec paths (snappy/lz4/zstd)

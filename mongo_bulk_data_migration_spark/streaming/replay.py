@@ -284,24 +284,11 @@ class ChangeStreamReplayer:
             F.lit(int(forced_batch)).cast("long")
             if forced_batch is not None else F.expr(f"__c_seq DIV {epb}"),
         )
-        prepped.write.partitionBy("__batch").mode("overwrite").option(
-            "compression", "uncompressed"
-        ).parquet(out_dir)
-        batch_schema = T.StructType(
-            [f for f in prepped.schema.fields if f.name != "__batch"]
-        )
-        # the two whole-window stat aggregations are independent jobs over
-        # different inputs (staged files vs the raw pending stream): submit
-        # them from two driver threads so the second back-fills the first's
-        # task tail instead of waiting for it (guide §2.6)
-        staged_all = self.spark.read.schema(prepped.schema).parquet(out_dir)
-        srows_q = staged_all.groupBy("__batch").agg(
-            F.count(F.lit(1)).alias("n_source_keys"),
-            F.sum(
-                F.when(F.col(OP_COL).isin("put", "insert"), 1).otherwise(0)
-            ).alias("n_src_upserts"),
-            F.collect_set(F.col(BUCKET_COL)).alias("touched"),
-        )
+        # The raw-lineage aggregation reads only (seq, part) of the PENDING
+        # stream — independent of the staging write — so it runs on a driver
+        # thread OVERLAPPED with the write (guide §2.6: overlap independent
+        # jobs); the staged-stats aggregation needs the written files and
+        # runs on the main thread right after.
         lineage_aggs = [F.count(F.lit(1)).alias("n"), F.max("seq").alias("max_seq")]
         if valid is not None:
             lineage_aggs.append(
@@ -315,23 +302,36 @@ class ChangeStreamReplayer:
 
         box: dict[str, Any] = {}
 
-        def _collect_stats() -> None:
+        def _collect_lineage() -> None:
             try:
-                sc.setJobDescription("cdc prestage: per-batch stats")
-                box["srows"] = srows_q.collect()
+                sc.setJobDescription("cdc prestage: per-batch lineage")
+                box["lrows"] = lrows_q.collect()
             except BaseException as e:
                 box["error"] = e
 
-        th_stats = InheritableThread(target=_collect_stats, daemon=True)
-        th_stats.start()
+        th_lineage = InheritableThread(target=_collect_lineage, daemon=True)
+        th_lineage.start()
         try:
-            sc.setJobDescription("cdc prestage: per-batch lineage")
-            lrows = lrows_q.collect()
+            prepped.write.partitionBy("__batch").mode("overwrite").option(
+                "compression", "uncompressed"
+            ).parquet(out_dir)
+            batch_schema = T.StructType(
+                [f for f in prepped.schema.fields if f.name != "__batch"]
+            )
+            sc.setJobDescription("cdc prestage: per-batch stats")
+            staged_all = self.spark.read.schema(prepped.schema).parquet(out_dir)
+            srows = staged_all.groupBy("__batch").agg(
+                F.count(F.lit(1)).alias("n_source_keys"),
+                F.sum(
+                    F.when(F.col(OP_COL).isin("put", "insert"), 1).otherwise(0)
+                ).alias("n_src_upserts"),
+                F.collect_set(F.col(BUCKET_COL)).alias("touched"),
+            ).collect()
         finally:
-            th_stats.join()
+            th_lineage.join()
         if "error" in box:
             raise box["error"]
-        srows = box["srows"]
+        lrows = box["lrows"]
         if valid is not None and any(int(r["n_dead"]) for r in lrows):
             # one partitioned write for the whole window; dynamic partition
             # overwrite keeps dead-letter batches from earlier windows, and
