@@ -22,6 +22,7 @@ serialized forward operation.  Extensions for the CDC generalization:
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -37,10 +38,14 @@ KIND_REINSERT = "reinsert"
 # deterministic logical clock: epoch + batch_id seconds (no wall-clock in data)
 _EPOCH = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
 
-# broadcast the per-key log flags when the pruned changelog file set measures
-# below this — the backup payloads dominate those files, so the projected
-# (key, kind, batch_id) build side is far smaller than this bound implies
-LOG_BROADCAST_BYTES = 256 << 20
+# broadcast the per-key log flags while the pruned changelog holds at most
+# this many rows: the build side is the (key, kind, batch_id) aggregate, so
+# its hash relation costs ~45-60 B/row — 1.5M rows ~ 80 MB, comfortably
+# broadcastable.  Row counts come from the parquet FOOTERS of the pruned
+# file set (driver-side, O(pruned files), bounded by the compaction
+# cadence) — measuring FILE bytes instead would count the multi-KB backup
+# payloads and turn the broadcast off exactly when it matters most.
+LOG_BROADCAST_MAX_ROWS = int(os.environ.get("MBDM_LOG_BCAST_MAX_ROWS", str(1_500_000)))
 
 
 def changelog_schema(data_schema: T.StructType, key_col: str) -> T.StructType:
@@ -175,7 +180,7 @@ class Changelog:
         # 10^10 events. Instead: ONE bucket-pruned log scan aggregated per
         # key, ONE left join, and each batch row emits its backup/tombstone/
         # reinsert records through a conditional-array explode.
-        log, log_bytes = self._existing_log(
+        log, log_rows = self._existing_log(
             spark, base.select(F.col(key)), bucket_hint=bucket_hint
         )
         is_backup = F.col("kind") == KIND_BACKUP
@@ -205,11 +210,11 @@ class Changelog:
         )
         # Measured-size broadcast (same principle as the merge planner's
         # auto strategy / MOR_BROADCAST_BYTES): log_agg is a per-key flag
-        # frame whose source bytes are known from the changelog manifest.
+        # frame whose row count is known from the pruned files' footers.
         # Broadcasting it keeps the WIDE pre-image rows of `base` map-side
         # — otherwise the planner sort-merge-joins and shuffles every
         # multi-KB backup payload just to attach four tiny flags.
-        if log_bytes <= LOG_BROADCAST_BYTES:
+        if log_rows <= LOG_BROADCAST_MAX_ROWS:
             log_agg = F.broadcast(log_agg)
         j = base.join(log_agg, key, "left")
 
@@ -354,10 +359,8 @@ class Changelog:
     ) -> tuple[DataFrame, int]:
         """(key, kind, batch_id) of this migration's existing changelog rows,
         bucket-pruned to the buckets the candidate keys can live in — plus
-        the on-disk byte size of the pruned file set (the measured quantity
-        the caller's broadcast decision uses)."""
-        import os
-
+        the ROW COUNT of the pruned file set, read from the parquet footers
+        (the measured quantity the caller's broadcast decision uses)."""
         tbl = self.table()
         key = self.target.key_col
         if bucket_hint is not None and tbl.num_buckets == self.target.num_buckets:
@@ -375,20 +378,23 @@ class Changelog:
             ]
         snap = tbl.snapshot()
         bset = set(cand_buckets)
-        bytes_ = 0
-        for f in snap.files:
-            if f["bucket"] in bset:
-                try:
-                    bytes_ += os.path.getsize(os.path.join(tbl.root, f["path"]))
-                except OSError:
-                    bytes_ = LOG_BROADCAST_BYTES + 1  # unknown => no broadcast
-                    break
+        rows_ = 0
+        try:
+            import pyarrow.parquet as pq
+
+            for f in snap.files:
+                if f["bucket"] in bset:
+                    rows_ += pq.ParquetFile(
+                        os.path.join(tbl.root, f["path"])
+                    ).metadata.num_rows
+        except Exception:
+            rows_ = LOG_BROADCAST_MAX_ROWS + 1  # unknown => no broadcast
         existing = tbl.read(spark, buckets=cand_buckets)
         return (
             existing.where(F.col("migration_id") == self.migration_id).select(
                 key, "kind", "batch_id"
             ),
-            bytes_,
+            rows_,
         )
 
     # ------------------------------------------------------------------
