@@ -838,7 +838,15 @@ class PendingCommit:
         commute with this one."""
         t = self.table
         parent = t.snapshot(self.parent_version)
-        cur = t.snapshot()
+        # read cur and build the candidate snapshot ATOMICALLY enough: the
+        # commute check below diffs against `cur`, so the snapshot must be
+        # parented on exactly that version — a commit landing between the
+        # two reads would otherwise slip past the check unexamined
+        while True:
+            cur = t.snapshot()
+            snap = t._next_snapshot(self.operation)
+            if snap.parent == cur.version:
+                break
         p_paths = {f["path"] for f in parent.files}
         c_paths = {f["path"] for f in cur.files}
         removed_since = [f for f in parent.files if f["path"] not in c_paths]
@@ -869,7 +877,6 @@ class PendingCommit:
                     f"appends delta layers to buckets that gained layers since "
                     f"v{self.parent_version} (buckets {sorted(bad)[:5]})"
                 )
-        snap = t._next_snapshot(self.operation)
         if self.replaced_buckets is not None:
             keep_paths = (
                 {f["path"] for f in added_since} if self.preserve_concurrent_adds else set()
