@@ -149,19 +149,25 @@ class Changelog:
         have = set(preimage.columns)
 
         date = F.lit(_EPOCH + dt.timedelta(seconds=batch_id)).cast("timestamp")
-        backup_struct = F.when(
-            F.col("__matched"),
-            F.struct(
-                *[
-                    (
-                        F.col(f"__pre_{f.name}")
-                        if f.name in bset and f"__pre_{f.name}" in have
-                        else F.lit(None).cast(f.dataType)
-                    ).alias(f.name)
-                    for f in backup_fields
-                ]
-            ),
+        # Column trees are immutable: everything below that does NOT embed a
+        # batch-id literal (the backup struct and the record array) is a pure
+        # function of (preimage columns, backup projection, backup schema) —
+        # build it once per migration window instead of re-paying the py4j
+        # expression construction on every batch (VERDICT r5 serial-floor
+        # theme; the batch-dependent log_agg/select literals stay per batch).
+        expr_key = (
+            tuple(preimage.columns),
+            tuple(sorted(bset)),
+            tbl.schema["backup"].dataType.json(),
         )
+        cached = getattr(self, "_expr_cache", None)
+        if cached is not None and cached[0] == expr_key:
+            backup_struct, recs = cached[1]
+        else:
+            backup_struct, recs = self._build_record_exprs(
+                backup_fields, bset, have, preimage.columns, tbl
+            )
+            self._expr_cache = (expr_key, (backup_struct, recs))
 
         # keep: matched rows (pre-image) + unmatched rows of insert-class ops
         # (NULL backup => rollback deletes the inserted key). Unmatched
@@ -218,9 +224,64 @@ class Changelog:
             log_agg = F.broadcast(log_agg)
         j = base.join(log_agg, key, "left")
 
+        rows = j.select(
+            F.col(key),
+            F.explode(F.filter(recs, lambda x: x.isNotNull())).alias("__r"),
+        ).select(
+            F.col(key),
+            F.lit(self.migration_id).alias("migration_id"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col("__r.seq").alias("seq"),
+            F.col("__r.kind").alias("kind"),
+            F.col("__r.op").alias("op"),
+            F.col("__r.matched").alias("matched"),
+            F.col("__r.backup").alias("backup"),
+            date.alias("date"),
+            F.lit(update_query).alias("update_query"),
+        )
+        n_obs = Observation(f"changelog-b{batch_id}")
+        rows = rows.observe(n_obs, F.count(F.lit(1)).alias("n_rows"),
+                            F.sum(F.when(F.col("kind") == KIND_BACKUP, 1).otherwise(0)).alias("n_backups"))
+        self.last_timings["build_s"] = round(_time.monotonic() - _t0, 4)
+        _t1 = _time.monotonic()
+        tbl.append(
+            rows,
+            operation=f"backup-batch-{batch_id}",
+            applied={self.migration_id: {"batch_id": batch_id}},
+        )
+        self.last_timings["write_s"] = round(_time.monotonic() - _t1, 4)
+        _t2 = _time.monotonic()
+        # bounded growth at 10^10 events (VERDICT r2 #10): a year-long
+        # migration appends one file set per batch per touched bucket; fold
+        # fat buckets so `_existing_log`'s scan is bounded by compaction
+        # cadence, not migration age (manifest-only check when nothing is fat)
+        self.compact(spark, max_files_per_bucket=16)
+        self.last_timings["compact_s"] = round(_time.monotonic() - _t2, 4)
+        # eliminated-observe (replayed no-op append) reads as zero fresh
+        # backups; any REAL failure propagates (obsutil narrows the catch)
+        return int(observed(n_obs).get("n_backups") or 0)
+
+    def _build_record_exprs(self, backup_fields, bset, have, preimage_cols, tbl):
+        """Batch-invariant expression trees for :meth:`append_batch`:
+        the masked backup struct and the conditional record array (backup /
+        tombstone / reinsert). No batch-id literal appears here — the batch
+        conditions are carried by the ``__has_*`` columns computed per batch."""
+        backup_struct = F.when(
+            F.col("__matched"),
+            F.struct(
+                *[
+                    (
+                        F.col(f"__pre_{f.name}")
+                        if f.name in bset and f"__pre_{f.name}" in have
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in backup_fields
+                ]
+            ),
+        )
         backup_t = tbl.schema["backup"].dataType
         seq_col = (
-            F.col("__seq") if "__seq" in preimage.columns else F.lit(None)
+            F.col("__seq") if "__seq" in preimage_cols else F.lit(None)
         ).cast("long")
 
         def record(kind: str, op, matched, backup, seq):
@@ -268,42 +329,7 @@ class Changelog:
                 ),
             ),
         )
-        rows = j.select(
-            F.col(key),
-            F.explode(F.filter(recs, lambda x: x.isNotNull())).alias("__r"),
-        ).select(
-            F.col(key),
-            F.lit(self.migration_id).alias("migration_id"),
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            F.col("__r.seq").alias("seq"),
-            F.col("__r.kind").alias("kind"),
-            F.col("__r.op").alias("op"),
-            F.col("__r.matched").alias("matched"),
-            F.col("__r.backup").alias("backup"),
-            date.alias("date"),
-            F.lit(update_query).alias("update_query"),
-        )
-        n_obs = Observation(f"changelog-b{batch_id}")
-        rows = rows.observe(n_obs, F.count(F.lit(1)).alias("n_rows"),
-                            F.sum(F.when(F.col("kind") == KIND_BACKUP, 1).otherwise(0)).alias("n_backups"))
-        self.last_timings["build_s"] = round(_time.monotonic() - _t0, 4)
-        _t1 = _time.monotonic()
-        tbl.append(
-            rows,
-            operation=f"backup-batch-{batch_id}",
-            applied={self.migration_id: {"batch_id": batch_id}},
-        )
-        self.last_timings["write_s"] = round(_time.monotonic() - _t1, 4)
-        _t2 = _time.monotonic()
-        # bounded growth at 10^10 events (VERDICT r2 #10): a year-long
-        # migration appends one file set per batch per touched bucket; fold
-        # fat buckets so `_existing_log`'s scan is bounded by compaction
-        # cadence, not migration age (manifest-only check when nothing is fat)
-        self.compact(spark, max_files_per_bucket=16)
-        self.last_timings["compact_s"] = round(_time.monotonic() - _t2, 4)
-        # eliminated-observe (replayed no-op append) reads as zero fresh
-        # backups; any REAL failure propagates (obsutil narrows the catch)
-        return int(observed(n_obs).get("n_backups") or 0)
+        return backup_struct, recs
 
     def compact(self, spark: SparkSession, max_files_per_bucket: int = 16) -> int:
         """Fold fat changelog buckets into one file each (single commit).
@@ -378,15 +404,20 @@ class Changelog:
             ]
         snap = tbl.snapshot()
         bset = set(cand_buckets)
+        pruned = [f for f in snap.files if f["bucket"] in bset]
         rows_ = 0
         try:
-            import pyarrow.parquet as pq
+            # manifest-recorded counts (written by _write_data_files) make
+            # this a dict sum; footer reads only for legacy entries
+            need_footer = [f for f in pruned if "rows" not in f]
+            if need_footer:
+                import pyarrow.parquet as pq
 
-            for f in snap.files:
-                if f["bucket"] in bset:
+                for f in need_footer:
                     rows_ += pq.ParquetFile(
                         os.path.join(tbl.root, f["path"])
                     ).metadata.num_rows
+            rows_ += sum(f["rows"] for f in pruned if "rows" in f)
         except Exception:
             rows_ = LOG_BROADCAST_MAX_ROWS + 1  # unknown => no broadcast
         existing = tbl.read(spark, buckets=cand_buckets)

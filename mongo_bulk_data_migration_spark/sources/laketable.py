@@ -447,6 +447,21 @@ class LakeTable:
             for fn in sorted(os.listdir(os.path.join(out, bdir))):
                 if fn.endswith(".parquet"):
                     entries.append({"path": os.path.join(snap_rel, bdir, fn), "bucket": b})
+        # record per-file row counts in the manifest (Iceberg-style): one
+        # footer read per file at write time replaces O(pruned files) footer
+        # reads on EVERY later metadata consumer (e.g. the changelog
+        # broadcast-bound check each batch). Optional key — readers fall
+        # back to footer reads for entries that lack it.
+        try:
+            import pyarrow.parquet as pq
+
+            for e in entries:
+                e["rows"] = pq.ParquetFile(
+                    os.path.join(self.root, e["path"])
+                ).metadata.num_rows
+        except Exception:
+            for e in entries:
+                e.pop("rows", None)
         return entries
 
     def append(

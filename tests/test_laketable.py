@@ -304,3 +304,26 @@ def test_commuting_commit_conflict_rebases(spark, warehouse):
     p4.commit()
     with pytest.raises(CommitConflictError):
         p5.commit()
+
+
+def test_manifest_records_file_row_counts(spark, warehouse):
+    """Manifest entries carry per-file row counts written at commit time, so
+    metadata consumers (e.g. the changelog broadcast bound) need no per-batch
+    footer scan; entries without the key (legacy manifests) stay readable."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=8)
+    t.append(sequences_spark(spark, 137))
+    snap = t.snapshot()
+    assert all("rows" in f for f in snap.files)
+    assert sum(f["rows"] for f in snap.files) == 137
+    # manifest counts agree with the actual parquet footers
+    for f in snap.files:
+        actual = pq.ParquetFile(os.path.join(t.root, f["path"])).metadata.num_rows
+        assert f["rows"] == actual
+    # round-trips through the JSON manifest
+    reloaded = cat.load_table("seq").snapshot()
+    assert sum(f["rows"] for f in reloaded.files) == 137

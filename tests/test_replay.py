@@ -273,6 +273,53 @@ def test_changelog_append_replay_is_idempotent_per_key(spark, warehouse):
     assert len([r for r in log if r["kind"] == "backup"]) == 3
 
 
+def test_changelog_expr_cache_reuse_and_invalidation(spark, warehouse, monkeypatch):
+    """The batch-invariant expression trees (backup struct / record array)
+    are built once per (preimage columns, backup projection, backup schema)
+    and reused across batches; a changed preimage shape rebuilds them."""
+    from mongo_bulk_data_migration_spark.plans.changelog import Changelog
+
+    cat = Catalog(warehouse)
+    t = cat.create_table("seq", SEQUENCES_SCHEMA, num_buckets=4)
+    rows = make_sequences(6)
+    t.append(spark.createDataFrame(rows, SEQUENCES_SCHEMA))
+    cl = Changelog(cat, "_rollback_seq_c", t, "c")
+
+    builds = []
+    orig = Changelog._build_record_exprs
+
+    def counting(self, *a, **kw):
+        builds.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Changelog, "_build_record_exprs", counting)
+
+    def preimage(keys, cols=True):
+        data = [
+            (k, "update", True, rows[int(k[-2:])]["tokens"])
+            + ((len(rows[int(k[-2:])]["tokens"]),) if cols else ())
+            for k in keys
+        ]
+        schema = (
+            "doc_id string, __op string, __matched boolean, __pre_tokens array<int>"
+            + (", __pre_n_tok int" if cols else "")
+        )
+        return spark.createDataFrame(data, schema)
+
+    assert cl.append_batch(spark, preimage(["doc00000001"]), 0, "{}") == 1
+    assert cl.append_batch(spark, preimage(["doc00000002"]), 1, "{}") == 1
+    assert len(builds) == 1  # second batch reused the cached trees
+    # a different preimage column set must NOT reuse the cached struct
+    assert cl.append_batch(spark, preimage(["doc00000003"], cols=False), 2, "{}") == 1
+    assert len(builds) == 2
+    # content unaffected: one backup per key, unbuilt columns restore to NULL
+    log = rows_of(cl.table().read(spark))
+    backups = {r["doc_id"]: r["backup"] for r in log if r["kind"] == "backup"}
+    assert len(backups) == 3
+    assert backups["doc00000002"]["n_tok"] == len(rows[2]["tokens"])
+    assert backups["doc00000003"]["n_tok"] is None
+
+
 def test_replay_merge_on_read_end_to_end(spark, warehouse):
     """Full CDC replay + rollback on a merge_mode='mor' table matches the
     oracle exactly — no base rewrite per batch, read-time resolution."""
